@@ -1,0 +1,876 @@
+"""Analytic narrowphase for the primitive pairs of the Adroit suite.
+
+Scalar-signature functions (one pair -> fixed number of contact candidates),
+vmapped over the static candidate-pair axis by the collision driver and over
+envs by the caller.  Conventions match mujoco:
+
+* pairs are type-sorted (type1 <= type2, plane < sphere < capsule <
+  cylinder < box);
+* the contact normal points from geom1 toward geom2;
+* ``dist`` is the signed surface separation (negative = penetration);
+* ``pos`` is the midpoint between the two surfaces;
+* inactive candidate slots report dist = +BIG.
+
+Exactness tiers (validated in tests/test_collision_parity.py):
+  exact vs mujoco 3.x  — plane-*, sphere-*, capsule-capsule;
+  near-exact           — capsule-box, box-box (same algorithm family);
+  approximate          — cylinder convex pairs (mujoco 2.1 used single-point
+                         MPR via libccd, 3.x uses multicontact native CCD;
+                         we use specialized analytic routines instead).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+BIG = 1e10
+
+
+def _midpos(p_on_1, p_on_2):
+    return 0.5 * (p_on_1 + p_on_2)
+
+
+def _safe_normalize(v, fallback=None, eps=1e-12):
+    n = jnp.linalg.norm(v)
+    if fallback is None:
+        fallback = jnp.array([0.0, 0.0, 1.0], dtype=v.dtype)
+    return jnp.where(n > eps, v / jnp.maximum(n, eps), fallback), n
+
+
+# ---------------------------------------------------------------------------
+# plane-X   (plane normal = column 2 of its frame; surface through pos1)
+# ---------------------------------------------------------------------------
+
+def plane_sphere(p1, m1, s1, p2, m2, s2):
+    n = m1[:, 2]
+    r = s2[0]
+    h = jnp.dot(n, p2 - p1)
+    dist = h - r
+    pos = p2 - n * (r + 0.5 * dist)
+    return dist[None], pos[None], n[None]
+
+
+def plane_capsule(p1, m1, s1, p2, m2, s2):
+    n = m1[:, 2]
+    axis = m2[:, 2]
+    r, hl = s2[0], s2[1]
+    ends = jnp.stack([p2 + axis * hl, p2 - axis * hl])
+    h = ends @ n - jnp.dot(p1, n)
+    dist = h - r
+    pos = ends - n[None, :] * (r + 0.5 * dist)[:, None]
+    return dist, pos, jnp.stack([n, n])
+
+
+def plane_cylinder(p1, m1, s1, p2, m2, s2):
+    """Up to 4 candidates, mirroring mujoco 3.x mjc_PlaneCylinder:
+    deepest rim point of the near cap, two near-cap rim points at +-120deg,
+    and the far-cap rim point at the deepest azimuth.  When the axis is
+    (near-)normal to the plane the three 120deg points form the standing
+    tripod."""
+    n = m1[:, 2]
+    axis = m2[:, 2]
+    r, hl = s2[0], s2[1]
+    dtype = p1.dtype
+
+    ca = jnp.dot(n, axis)
+    # Radial direction of steepest descent on the cap rim.
+    prj = axis * ca - n
+    prjn = jnp.linalg.norm(prj)
+    standing = prjn < 1e-10
+    # Arbitrary tangent when standing.
+    t_arb = m2[:, 0]
+    rad = jnp.where(standing, t_arb, prj / jnp.maximum(prjn, 1e-12))
+
+    near_sign = -jnp.sign(ca + jnp.where(jnp.abs(ca) < 1e-12, 1.0, 0.0))
+    # near cap center: choose the cap whose center is lower along n.
+    cap = p2 + axis * hl * jnp.where(ca < 0, 1.0, -1.0)
+    far_cap = 2.0 * p2 - cap
+
+    # Orthonormal tangent in the rim plane for the 120deg points.
+    t2v = jnp.cross(axis, rad)
+
+    c120, s120 = -0.5, jnp.sqrt(jnp.asarray(3.0, dtype=dtype)) / 2.0
+    pts = jnp.stack([
+        cap + r * rad,
+        cap + r * (c120 * rad + s120 * t2v),
+        cap + r * (c120 * rad - s120 * t2v),
+        far_cap + r * rad,
+    ])
+    h = pts @ n - jnp.dot(p1, n)
+    dist = h
+    pos = pts - n[None, :] * (0.5 * dist)[:, None]
+    nrm = jnp.broadcast_to(n, (4, 3))
+    # Mark the far-cap point inactive when it coincides with a near point
+    # (standing case: far cap is the top rim, normally above margin anyway).
+    return dist, pos, nrm
+
+
+def plane_box(p1, m1, s1, p2, m2, s2):
+    """All 8 corners; driver keeps the (up to) 4 deepest active ones."""
+    n = m1[:, 2]
+    signs = jnp.array(
+        [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+        dtype=p1.dtype)
+    corners = p2[None, :] + (signs * s2[None, :]) @ m2.T
+    dist = corners @ n - jnp.dot(p1, n)
+    pos = corners - n[None, :] * (0.5 * dist)[:, None]
+    nrm = jnp.broadcast_to(n, (8, 3))
+    return dist, pos, nrm
+
+
+# ---------------------------------------------------------------------------
+# sphere-X
+# ---------------------------------------------------------------------------
+
+def sphere_sphere(p1, m1, s1, p2, m2, s2):
+    d = p2 - p1
+    n, ln = _safe_normalize(d)
+    dist = ln - s1[0] - s2[0]
+    pos = _midpos(p1 + n * s1[0], p2 - n * s2[0])
+    return dist[None], pos[None], n[None]
+
+
+def _closest_on_segment(a, b, p):
+    ab = b - a
+    t = jnp.clip(jnp.dot(p - a, ab) / jnp.maximum(jnp.dot(ab, ab), 1e-15),
+                 0.0, 1.0)
+    return a + t * ab
+
+
+def sphere_capsule(p1, m1, s1, p2, m2, s2):
+    axis = m2[:, 2]
+    hl = s2[1]
+    c = _closest_on_segment(p2 - axis * hl, p2 + axis * hl, p1)
+    d = c - p1
+    n, ln = _safe_normalize(d)
+    dist = ln - s1[0] - s2[0]
+    pos = _midpos(p1 + n * s1[0], c - n * s2[0])
+    return dist[None], pos[None], n[None]
+
+
+def _closest_on_cylinder_surface(p, c, axis, r, hl):
+    """Closest point on a solid cylinder's surface to external point p, and
+    the outward normal there.  For interior points returns the minimal
+    push-out face/side point."""
+    rel = p - c
+    z = jnp.dot(rel, axis)
+    radial = rel - z * axis
+    rn = jnp.linalg.norm(radial)
+    rdir = jnp.where(rn > 1e-12, radial / jnp.maximum(rn, 1e-12),
+                     _ortho(axis))
+    inside = (jnp.abs(z) <= hl) & (rn <= r)
+
+    # Outside: clamp.
+    zc = jnp.clip(z, -hl, hl)
+    rc = jnp.minimum(rn, r)
+    surf_out = c + axis * zc + rdir * jnp.where(
+        (jnp.abs(z) > hl) & (rn <= r), rc, r * 0 + jnp.minimum(rn, r))
+    # simpler: clamp radius to r when beyond side, keep rn when above cap
+    surf_out = c + axis * zc + rdir * jnp.minimum(rn, r)
+
+    # Inside: push to nearest feature (side vs cap).
+    d_side = r - rn
+    d_cap = hl - jnp.abs(z)
+    use_side = d_side <= d_cap
+    surf_in = jnp.where(
+        use_side,
+        c + axis * z + rdir * r,
+        c + axis * jnp.sign(z + 1e-30) * hl + rdir * rn,
+    )
+    surf = jnp.where(inside, surf_in, surf_out)
+    return surf, inside
+
+
+def _ortho(v):
+    """Any unit vector orthogonal to unit v."""
+    other = jnp.where(jnp.abs(v[0]) < 0.5,
+                      jnp.array([1.0, 0.0, 0.0], dtype=v.dtype),
+                      jnp.array([0.0, 1.0, 0.0], dtype=v.dtype))
+    w = jnp.cross(v, other)
+    return w / jnp.linalg.norm(w)
+
+
+def sphere_cylinder(p1, m1, s1, p2, m2, s2):
+    axis = m2[:, 2]
+    r2, hl = s2[0], s2[1]
+    surf, inside = _closest_on_cylinder_surface(p1, p2, axis, r2, hl)
+    d = surf - p1
+    ln = jnp.linalg.norm(d)
+    n_out = jnp.where(ln > 1e-12, d / jnp.maximum(ln, 1e-12),
+                      _ortho(axis))
+    # normal points from sphere (geom1) toward cylinder (geom2)
+    n = jnp.where(inside, -n_out, n_out)
+    dist = jnp.where(inside, -ln, ln) - s1[0]
+    pos = _midpos(p1 + n * s1[0], surf)
+    return dist[None], pos[None], n[None]
+
+
+def _closest_on_box(p, c, m, size):
+    """Closest point on solid box surface to p (world), outward normal-ish
+    direction handled by caller; also returns whether p is inside."""
+    lp = m.T @ (p - c)
+    clamped = jnp.clip(lp, -size, size)
+    inside = jnp.all(jnp.abs(lp) <= size)
+    # Inside: project to nearest face.
+    gap = size - jnp.abs(lp)
+    k = jnp.argmin(gap)
+    proj = clamped.at[k].set(jnp.sign(lp[k] + 1e-30) * size[k])
+    lsurf = jnp.where(inside, proj, clamped)
+    return c + m @ lsurf, inside
+
+
+def sphere_box(p1, m1, s1, p2, m2, s2):
+    surf, inside = _closest_on_box(p1, p2, m2, s2)
+    d = surf - p1
+    ln = jnp.linalg.norm(d)
+    n_out = jnp.where(ln > 1e-12, d / jnp.maximum(ln, 1e-12),
+                      jnp.array([0.0, 0.0, 1.0], dtype=p1.dtype))
+    n = jnp.where(inside, -n_out, n_out)
+    dist = jnp.where(inside, -ln, ln) - s1[0]
+    pos = _midpos(p1 + n * s1[0], surf)
+    return dist[None], pos[None], n[None]
+
+
+# ---------------------------------------------------------------------------
+# capsule-X
+# ---------------------------------------------------------------------------
+
+def _segment_closest(a1, b1, a2, b2):
+    """Closest points between segments [a1,b1], [a2,b2] (clamped), plus the
+    parallelism measure."""
+    d1 = b1 - a1
+    d2 = b2 - a2
+    r = a1 - a2
+    A = jnp.dot(d1, d1)
+    e = jnp.dot(d2, d2)
+    f = jnp.dot(d2, r)
+    c = jnp.dot(d1, r)
+    b = jnp.dot(d1, d2)
+    denom = A * e - b * b
+    s = jnp.where(denom > 1e-14, jnp.clip((b * f - c * e) / jnp.maximum(
+        denom, 1e-14), 0.0, 1.0), 0.0)
+    t = (b * s + f) / jnp.maximum(e, 1e-14)
+    t_cl = jnp.clip(t, 0.0, 1.0)
+    s2c = jnp.clip((b * t_cl - c) / jnp.maximum(A, 1e-14), 0.0, 1.0)
+    p1 = a1 + d1 * s2c
+    p2c = a2 + d2 * t_cl
+    parallel = denom <= 1e-10 * A * e
+    return p1, p2c, parallel
+
+
+def capsule_capsule(p1, m1, s1, p2, m2, s2):
+    """2 candidates: the generic closest-point contact, plus a second
+    contact when the capsules are (near-)parallel, at the other end of the
+    overlap interval (mujoco mjc_CapsuleCapsule behavior)."""
+    r1, h1 = s1[0], s1[1]
+    r2, h2 = s2[0], s2[1]
+    ax1, ax2 = m1[:, 2], m2[:, 2]
+    a1, b1 = p1 - ax1 * h1, p1 + ax1 * h1
+    a2, b2 = p2 - ax2 * h2, p2 + ax2 * h2
+
+    c1, c2, parallel = _segment_closest(a1, b1, a2, b2)
+    d = c2 - c1
+    n, ln = _safe_normalize(d, fallback=_ortho(ax1))
+    dist_a = ln - r1 - r2
+    pos_a = _midpos(c1 + n * r1, c2 - n * r2)
+
+    # Parallel second contact: project seg2 onto seg1's line, use the other
+    # end of the overlapping interval.
+    t_a2 = jnp.dot(a2 - a1, ax1)
+    t_b2 = jnp.dot(b2 - a1, ax1)
+    lo = jnp.maximum(0.0, jnp.minimum(t_a2, t_b2))
+    hi = jnp.minimum(2.0 * h1, jnp.maximum(t_a2, t_b2))
+    t_first = jnp.dot(c1 - a1, ax1)
+    # Pick the overlap end farther from the first contact.
+    t_other = jnp.where(jnp.abs(t_first - lo) > jnp.abs(t_first - hi),
+                        lo, hi)
+    c1b = a1 + ax1 * t_other
+    # Corresponding closest point on seg2.
+    c2b = _closest_on_segment(a2, b2, c1b)
+    db = c2b - c1b
+    nb, lnb = _safe_normalize(db, fallback=n)
+    dist_b = lnb - r1 - r2
+    pos_b = _midpos(c1b + nb * r1, c2b - nb * r2)
+
+    has_overlap = hi > lo
+    valid_b = parallel & has_overlap & (jnp.abs(t_other - t_first) > 1e-9)
+    dist_b = jnp.where(valid_b, dist_b, BIG)
+
+    return (jnp.stack([dist_a, dist_b]), jnp.stack([pos_a, pos_b]),
+            jnp.stack([n, nb]))
+
+
+def _sphere_point_box(pt_w, r, p2, m2, s2):
+    """Sphere of radius r centered at pt_w vs box: (dist, pos, n)."""
+    surf, inside = _closest_on_box(pt_w, p2, m2, s2)
+    d = surf - pt_w
+    ln = jnp.linalg.norm(d)
+    n = jnp.where(ln > 1e-12, d / jnp.maximum(ln, 1e-12),
+                  jnp.array([0.0, 0.0, 1.0], dtype=pt_w.dtype))
+    n = jnp.where(inside, -n, n)
+    dist = jnp.where(inside, -ln, ln) - r
+    pos = _midpos(pt_w + n * r, surf)
+    return dist, pos, n
+
+
+def capsule_box(p1, m1, s1, p2, m2, s2):
+    """Capsule (geom1) vs box (geom2): up to 2 contacts.
+
+    Mirrors the observed mujoco mjc_CapsuleBox manifold: the capsule axis
+    segment is clipped against the box inflated by the capsule radius; a
+    sphere-box contact is emitted at each clip endpoint (they coincide for
+    endpoint/cap contacts — mujoco emits the duplicate too, and the
+    duplicated constraint is kept for parity).  If the segment misses the
+    inflated box, the single closest-point contact is emitted (margin
+    inclusion is decided by the driver)."""
+    r, hl = s1[0], s1[1]
+    ax = m1[:, 2]
+    a = p1 - ax * hl
+    b = p1 + ax * hl
+
+    # Work in box frame.
+    al = m2.T @ (a - p2)
+    bl = m2.T @ (b - p2)
+    dl = bl - al
+
+    # Primary: exact closest point of the segment to the box, found by
+    # fixed-point iteration of t -> clamp projection (convex, converges).
+    t_fp = jnp.asarray(0.5, p1.dtype)
+    for _ in range(12):
+        pt = al + t_fp * dl
+        cl = jnp.clip(pt, -s2, s2)
+        t_fp = jnp.clip(jnp.dot(cl - al, dl)
+                        / jnp.maximum(jnp.dot(dl, dl), 1e-15), 0.0, 1.0)
+    pf_w = p2 + m2 @ (al + t_fp * dl)
+    dist_a, pos_a, n_a = _sphere_point_box(pf_w, r, p2, m2, s2)
+
+    # Secondary (line contact): when the capsule axis lies (near-)in the
+    # contact surface, clip the axis segment against the box slabs inflated
+    # by r and take the interval end farther from the primary point.
+    s_inf = s2 + r
+    t_lo = jnp.asarray(0.0, p1.dtype)
+    t_hi = jnp.asarray(1.0, p1.dtype)
+    for k in range(3):
+        dk = dl[k]
+        parallel_k = jnp.abs(dk) < 1e-13
+        safe = jnp.where(parallel_k, 1.0, dk)
+        t1 = (-s_inf[k] - al[k]) / safe
+        t2 = (s_inf[k] - al[k]) / safe
+        t_lo = jnp.where(parallel_k, t_lo,
+                         jnp.maximum(t_lo, jnp.minimum(t1, t2)))
+        t_hi = jnp.where(parallel_k, t_hi,
+                         jnp.minimum(t_hi, jnp.maximum(t1, t2)))
+    t_other = jnp.where(jnp.abs(t_fp - t_lo) > jnp.abs(t_fp - t_hi),
+                        t_lo, t_hi)
+    t_other = jnp.clip(t_other, 0.0, 1.0)
+    po_w = p2 + m2 @ (al + t_other * dl)
+    dist_b, pos_b, n_b = _sphere_point_box(po_w, r, p2, m2, s2)
+    line_contact = jnp.abs(jnp.dot(ax, n_a)) < 0.05
+    dist_b = jnp.where(line_contact & (t_hi >= t_lo), dist_b, BIG)
+
+    return (jnp.stack([dist_a, dist_b]), jnp.stack([pos_a, pos_b]),
+            jnp.stack([n_a, n_b]))
+
+
+# ---------------------------------------------------------------------------
+# cylinder pairs (approximate analytic; see module docstring)
+# ---------------------------------------------------------------------------
+
+def capsule_cylinder(p1, m1, s1, p2, m2, s2):
+    """Capsule (geom1) vs cylinder (geom2): up to 2 contacts.  The capsule
+    segment's closest point to the solid cylinder is found by sampled+
+    refined minimization; a parallel-contact second point handles the
+    lying case."""
+    r1, h1 = s1[0], s1[1]
+    ax1 = m1[:, 2]
+    a = p1 - ax1 * h1
+    b = p1 + ax1 * h1
+    ax2 = m2[:, 2]
+    r2, h2 = s2[0], s2[1]
+
+    def point_dist(t):
+        pt = a + t * (b - a)
+        surf, inside = _closest_on_cylinder_surface(pt, p2, ax2, r2, h2)
+        d = surf - pt
+        ln = jnp.linalg.norm(d)
+        return jnp.where(inside, -ln, ln), pt, surf
+
+    # Coarse sample + golden-section refine on the (piecewise-smooth) 1D
+    # distance; robust for the task geometries.
+    ts = jnp.linspace(0.0, 1.0, 17, dtype=p1.dtype)
+    dists = jax.vmap(lambda t: point_dist(t)[0])(ts)
+    i = jnp.argmin(dists)
+    lo = jnp.clip(ts[i] - 1.0 / 16.0, 0.0, 1.0)
+    hi = jnp.clip(ts[i] + 1.0 / 16.0, 0.0, 1.0)
+    gr = 0.618033988749895
+    for _ in range(24):
+        m_lo = hi - gr * (hi - lo)
+        m_hi = lo + gr * (hi - lo)
+        f_lo = point_dist(m_lo)[0]
+        f_hi = point_dist(m_hi)[0]
+        lo, hi = jnp.where(f_lo < f_hi, lo, m_lo), jnp.where(
+            f_lo < f_hi, m_hi, hi)
+    t_best = 0.5 * (lo + hi)
+    dmin, pt, surf = point_dist(t_best)
+    dvec = surf - pt
+    ln = jnp.linalg.norm(dvec)
+    n_out = jnp.where(ln > 1e-12, dvec / jnp.maximum(ln, 1e-12),
+                      _ortho(ax2))
+    n = jnp.where(dmin < 0, -n_out, n_out)
+    dist_a = dmin - r1
+    pos_a = _midpos(pt + n * r1, surf)
+
+    # Parallel (capsule lying along cylinder side or across the cap).
+    parallel = jnp.abs(jnp.dot(ax1, ax2)) > 0.999
+    t_other = jnp.where(t_best < 0.5, 1.0, 0.0)
+    d2, pt2, surf2 = point_dist(t_other)
+    d2vec = surf2 - pt2
+    ln2 = jnp.linalg.norm(d2vec)
+    n2 = jnp.where(ln2 > 1e-12, d2vec / jnp.maximum(ln2, 1e-12), n)
+    n2 = jnp.where(d2 < 0, -n2, n2)
+    dist_b = jnp.where(parallel, d2 - r1, BIG)
+    pos_b = _midpos(pt2 + n2 * r1, surf2)
+
+    return (jnp.stack([dist_a, dist_b]), jnp.stack([pos_a, pos_b]),
+            jnp.stack([n, n2]))
+
+
+def cylinder_cylinder(p1, m1, s1, p2, m2, s2):
+    """Cylinder-cylinder, specialized for the suite's dominant regimes:
+
+    * cap-cap (axes near-parallel, axial stacking — hammer face on nail
+      head): ring contact approximated by 3 points at 120 deg on the
+      overlap circle + a center point;
+    * side-side parallel: 2 points along the contact line;
+    * generic: single contact from segment-segment closest points treated
+      as locally spherical.
+
+    Reference behavior (mujoco-py 2.1) produced a single MPR contact here;
+    this routine is intentionally a stable superset.  4 candidates.
+    """
+    r1, h1 = s1[0], s1[1]
+    ax1 = m1[:, 2]
+    r2, h2 = s2[0], s2[1]
+    ax2 = m2[:, 2]
+    dtype = p1.dtype
+
+    ca = jnp.dot(ax1, ax2)
+    parallel = jnp.abs(ca) > 0.999
+
+    rel = p2 - p1
+    z = jnp.dot(rel, ax1)                       # axial offset
+    radial = rel - z * ax1
+    rn = jnp.linalg.norm(radial)
+    rdir = jnp.where(rn > 1e-12, radial / jnp.maximum(rn, 1e-12),
+                     _ortho(ax1))
+
+    # --- parallel cases --------------------------------------------------
+    axial_gap = jnp.abs(z) - (h1 + h2)
+    radial_gap = rn - (r1 + r2)
+    cap_case = parallel & (rn < jnp.maximum(r1, r2))
+
+    # cap-cap: contact plane halfway between facing caps.
+    sgn = jnp.sign(z + 1e-30)
+    cap1 = p1 + ax1 * sgn * h1
+    n_cc = ax1 * sgn                             # from geom1 toward geom2
+    ring_r = jnp.minimum(r1, r2)
+    t1v = _ortho(ax1)
+    t2v = jnp.cross(ax1, t1v)
+    center = cap1 + n_cc * 0.5 * axial_gap
+    # ring center offset toward the smaller cylinder's axis
+    ring_c = jnp.where(r1 < r2, p1 + n_cc * (h1 + 0.5 * axial_gap),
+                       p2 - n_cc * (h2 + 0.5 * axial_gap))
+    c120, s120 = -0.5, jnp.sqrt(jnp.asarray(3.0, dtype=dtype)) / 2.0
+    ring_pts = jnp.stack([
+        ring_c + ring_r * t1v,
+        ring_c + ring_r * (c120 * t1v + s120 * t2v),
+        ring_c + ring_r * (c120 * t1v - s120 * t2v),
+        ring_c,
+    ])
+    dist_cc = jnp.full((4,), BIG, dtype=dtype).at[:].set(
+        jnp.where(jnp.arange(4) < 4, axial_gap, BIG))
+    pos_cc = ring_pts
+    n_cc4 = jnp.broadcast_to(n_cc, (4, 3))
+
+    # side-side parallel: two points along overlap of axes.
+    n_ss = rdir
+    z2lo = z - h2
+    z2hi = z + h2
+    lo = jnp.maximum(-h1, jnp.minimum(z2lo, z2hi))
+    hi = jnp.minimum(h1, jnp.maximum(z2lo, z2hi))
+    mid = 0.5 * (lo + hi)
+    pts_ax = jnp.stack([lo, hi, mid, mid])
+    surf1 = p1[None, :] + pts_ax[:, None] * ax1[None, :] \
+        + n_ss[None, :] * r1
+    surf2 = surf1 + n_ss[None, :] * radial_gap[None]
+    pos_ss = 0.5 * (surf1 + surf2)
+    dist_ss = jnp.stack([radial_gap, radial_gap, BIG, BIG])
+    n_ss4 = jnp.broadcast_to(n_ss, (4, 3))
+    ss_valid = hi > lo
+
+    # --- generic: alternating-projection closest points between the two
+    # (shrunken) solids; exact in the shallow-contact regime.
+    a1, b1 = p1 - ax1 * h1, p1 + ax1 * h1
+    a2, b2 = p2 - ax2 * h2, p2 + ax2 * h2
+    c1, c2, _ = _segment_closest(a1, b1, a2, b2)
+    shrink = 0.3 * jnp.minimum(jnp.minimum(r1, h1), jnp.minimum(r2, h2))
+    dist_g, pos_g, n_g = _convex_contact(
+        lambda x: _proj_cyl_solid(x, p1, ax1, r1 - shrink, h1 - shrink),
+        lambda x: _proj_cyl_solid(x, p2, ax2, r2 - shrink, h2 - shrink),
+        0.5 * (c1 + c2), shrink, fallback_n=rdir,
+        suppA=lambda d: _supp_cyl(d, p1, ax1, r1, h1),
+        suppB=lambda d: _supp_cyl(d, p2, ax2, r2, h2))
+    dist_g4 = jnp.stack([dist_g, BIG, BIG, BIG])
+    pos_g4 = jnp.broadcast_to(pos_g, (4, 3))
+    n_g4 = jnp.broadcast_to(n_g, (4, 3))
+
+    side_case = parallel & ~cap_case & ss_valid
+    dist = jnp.where(cap_case, dist_cc,
+                     jnp.where(side_case, dist_ss, dist_g4))
+    pos = jnp.where(cap_case, pos_cc,
+                    jnp.where(side_case, pos_ss, pos_g4))
+    nrm = jnp.where(cap_case, n_cc4,
+                    jnp.where(side_case, n_ss4, n_g4))
+    return dist, pos, nrm
+
+
+def cylinder_box(p1, m1, s1, p2, m2, s2):
+    """Cylinder (geom1) vs box (geom2): 4 candidates.
+
+    Regimes: cap-on-face (standing) -> 3 rim points like plane_cylinder
+    against the face plane; side-on-face (lying) -> 2 points along the
+    contact line; generic -> closest point of the cylinder's axis segment
+    to the box, treated locally as a capsule contact."""
+    r, hl = s1[0], s1[1]
+    ax = m1[:, 2]
+    dtype = p1.dtype
+
+    # Find the box face whose outward normal is most opposed to the
+    # cylinder center direction (candidate supporting face).
+    rel_l = m2.T @ (p1 - p2)
+    k = jnp.argmax(jnp.abs(rel_l) / s2)
+    sgn = jnp.sign(rel_l[k] + 1e-30)
+    face_n = m2 @ (jnp.eye(3, dtype=dtype)[k] * sgn)      # outward
+    face_c = p2 + face_n * s2[k]
+
+    ca = jnp.dot(face_n, ax)
+    standing = jnp.abs(ca) > 0.999
+    lying = jnp.abs(ca) < 1e-3
+
+    # --- cap-on-face: reuse plane-cylinder against the face plane, then
+    # clamp the points into the face rectangle.
+    dists_pc, pos_pc, _ = plane_cylinder(face_c, _frame_from_z(face_n),
+                                         s2, p1, m1, s1)
+    # Clamp positions into the face bounds (in box frame).
+    pos_l = jax.vmap(lambda q: m2.T @ (q - p2))(pos_pc)
+    axes = [0, 1, 2]
+    others = [a for a in axes]
+    pos_l_cl = jnp.stack([
+        jnp.where(jnp.arange(3) == k, pos_l[i],
+                  jnp.clip(pos_l[i], -s2, s2))
+        for i in range(4)
+    ])
+    pos_cf = jax.vmap(lambda q: p2 + m2 @ q)(pos_l_cl)
+    n_cf = jnp.broadcast_to(-face_n, (4, 3))  # from cylinder toward box
+
+    # --- lying: capsule-like 2-point line contact against the face.
+    a = p1 - ax * hl
+    b = p1 + ax * hl
+    da = jnp.dot(a - face_c, face_n) - r
+    db = jnp.dot(b - face_c, face_n) - r
+    pa = a - face_n * (r + 0.5 * da)
+    pb = b - face_n * (r + 0.5 * db)
+    dist_ly = jnp.stack([da, db, BIG, BIG])
+    pos_ly = jnp.stack([pa, pb, pa, pb])
+    n_ly = jnp.broadcast_to(-face_n, (4, 3))
+
+    # --- generic: alternating projections between shrunken solids.
+    shrink = 0.3 * jnp.minimum(jnp.minimum(r, hl), jnp.min(s2))
+    dist_g, pos_g, n_g = _convex_contact(
+        lambda x: _proj_cyl_solid(x, p1, ax, r - shrink, hl - shrink),
+        lambda x: _proj_box_solid(x, p2, m2, s2 - shrink),
+        0.5 * (p1 + p2), shrink, fallback_n=-face_n,
+        suppA=lambda d: _supp_cyl(d, p1, ax, r, hl),
+        suppB=lambda d: _supp_box(d, p2, m2, s2))
+    dist_g4 = jnp.stack([dist_g, BIG, BIG, BIG])
+    pos_g4 = jnp.broadcast_to(pos_g, (4, 3))
+    n_g4 = jnp.broadcast_to(n_g, (4, 3))
+
+    dist = jnp.where(standing, dists_pc,
+                     jnp.where(lying, dist_ly, dist_g4))
+    pos = jnp.where(standing, pos_cf,
+                    jnp.where(lying, pos_ly, pos_g4))
+    nrm = jnp.where(standing, n_cf,
+                    jnp.where(lying, n_ly, n_g4))
+    return dist, pos, nrm
+
+
+def _frame_from_z(z):
+    x = _ortho(z)
+    y = jnp.cross(z, x)
+    return jnp.stack([x, y, z], axis=1)
+
+
+def _proj_cyl_solid(x, c, axis, r, hl):
+    """Euclidean projection of x onto the solid cylinder (c, axis, r, hl)."""
+    rel = x - c
+    z = jnp.dot(rel, axis)
+    rad = rel - z * axis
+    rn = jnp.linalg.norm(rad)
+    rdir = jnp.where(rn > 1e-12, rad / jnp.maximum(rn, 1e-12), _ortho(axis))
+    return c + axis * jnp.clip(z, -hl, hl) + rdir * jnp.minimum(rn, r)
+
+
+def _proj_box_solid(x, c, m, size):
+    return c + m @ jnp.clip(m.T @ (x - c), -size, size)
+
+
+def _convex_contact(projA, projB, x0, shrink, fallback_n, iters=48,
+                    suppA=None, suppB=None):
+    """Contact between two convex solids.
+
+    Alternating projection on the pre-shrunk solids estimates the contact
+    normal (robust but first-order slow); the signed distance is then
+    recovered exactly from the *original* solids' support functions along
+    that normal (the support gap equals the true distance at the optimal
+    normal, and is second-order accurate in the normal error).  Penetration
+    beyond 2*shrink saturates.  n points from solid A toward solid B."""
+    y = x0
+    x = x0
+    for _ in range(iters):
+        x = projA(y)
+        y = projB(x)
+    d = y - x
+    ln = jnp.linalg.norm(d)
+    n = jnp.where(ln > 1e-10, d / jnp.maximum(ln, 1e-10), fallback_n)
+    if suppA is not None:
+        # The signed distance equals max over unit directions of the
+        # support gap; polish n by projected gradient ascent (the gradient
+        # is the difference of support points), then evaluate the gap.
+        sppA, sppB = suppA, suppB
+        gap = lambda v: -sppB(-v) - sppA(v)
+        n_best = n
+        gap_best = gap(n)
+        step = 0.25
+        for _ in range(24):
+            gA = jax.grad(sppA)(n)       # support point of A along n
+            gB = jax.grad(lambda v: -spp_neg(sppB, v))(n)
+            grad = gB - gA
+            tang = grad - jnp.dot(grad, n) * n
+            n_try = n + step * tang
+            n_try = n_try / jnp.maximum(jnp.linalg.norm(n_try), 1e-12)
+            g_try = gap(n_try)
+            improved = g_try > gap_best
+            n_best = jnp.where(improved, n_try, n_best)
+            gap_best = jnp.where(improved, g_try, gap_best)
+            n = jnp.where(improved, n_try, n)
+            step = jnp.where(improved, step, step * 0.5)
+        n = n_best
+        dist = gap_best
+    else:
+        dist = ln - 2.0 * shrink
+    pos = 0.5 * (x + y) + 0.0 * n
+    return dist, pos, n
+
+
+def spp_neg(supp, v):
+    return supp(-v)
+
+
+def _supp_cyl(d, c, axis, r, hl):
+    """Support value of a solid cylinder along unit direction d."""
+    za = jnp.dot(d, axis)
+    perp = jnp.linalg.norm(d - za * axis)
+    return jnp.dot(d, c) + hl * jnp.abs(za) + r * perp
+
+
+def _supp_box(d, c, m, size):
+    return jnp.dot(d, c) + jnp.dot(jnp.abs(m.T @ d), size)
+
+
+# ---------------------------------------------------------------------------
+# box-box (SAT + reference-face clipping, mjc_BoxBox/dBoxBox family)
+# ---------------------------------------------------------------------------
+
+def _clip_polygon_axis(pts, count, axis, bound):
+    """Sutherland-Hodgman clip of a convex polygon (fixed 8-slot buffer,
+    first `count` valid) against |pts[:, axis]| <= bound.  Returns new
+    (pts, count)."""
+    dtype = pts.dtype
+
+    def clip_side(pts, count, sign):
+        out_pts = []
+        out_val = []
+        idx8 = jnp.arange(8)
+        inside = sign * pts[:, axis] <= bound
+        for i in range(8):
+            j = jnp.where(i + 1 >= count, 0, i + 1)
+            Pi = pts[i]
+            Pj = pts[j]
+            edge_valid = i < count
+            in_i = inside[i]
+            in_j = inside[j]
+            denom = Pj[axis] - Pi[axis]
+            t = (sign * bound - Pi[axis]) / jnp.where(
+                jnp.abs(denom) > 1e-13, denom, 1.0)
+            inter = Pi + jnp.clip(t, 0.0, 1.0) * (Pj - Pi)
+            out_pts.append(Pi)
+            out_val.append(edge_valid & in_i)
+            out_pts.append(inter)
+            out_val.append(edge_valid & (in_i ^ in_j)
+                           & (jnp.abs(denom) > 1e-13))
+        pts16 = jnp.stack(out_pts)
+        val16 = jnp.stack(out_val)
+        rank = jnp.cumsum(val16) - 1
+        idx = jnp.where(val16 & (rank < 8), rank, 8)
+        new_pts = jnp.zeros((9, pts.shape[1]), dtype=dtype).at[idx].set(
+            pts16)[:8]
+        new_count = jnp.minimum(jnp.sum(val16), 8)
+        return new_pts, new_count
+
+    pts, count = clip_side(pts, count, 1.0)
+    pts, count = clip_side(pts, count, -1.0)
+    return pts, count
+
+
+def _box_face_manifold(p_ref, R_ref, s_ref, p_inc, R_inc, s_inc, n_world):
+    """Clip the incident box face against the reference face side planes.
+    `n_world` points from the reference box toward the incident box.
+    Returns (dist(8,), pos(8,3)) with BIG-dist padding."""
+    dtype = p_ref.dtype
+    eye = jnp.eye(3, dtype=dtype)
+
+    nl_ref = R_ref.T @ n_world
+    kref = jnp.argmax(jnp.abs(nl_ref))
+    sref = jnp.sign(nl_ref[kref] + 1e-30)
+    nl_inc = R_inc.T @ n_world
+    kinc = jnp.argmax(jnp.abs(nl_inc))
+    sinc = -jnp.sign(nl_inc[kinc] + 1e-30)
+
+    e_kinc = eye[kinc]
+    e_uinc = eye[(kinc + 1) % 3]
+    e_vinc = eye[(kinc + 2) % 3]
+    sz_k = s_inc[kinc]
+    sz_u = s_inc[(kinc + 1) % 3]
+    sz_v = s_inc[(kinc + 2) % 3]
+    corners_l = jnp.stack([
+        e_kinc * sz_k * sinc + e_uinc * sz_u * su + e_vinc * sz_v * sv
+        for su in (-1.0, 1.0) for sv in (1.0, -1.0)
+    ])  # winding order: (-,+), (-,-) ... keep convex ring: (-,+),(+,+),(+,-),(-,-)
+    corners_l = jnp.stack([
+        e_kinc * sz_k * sinc - e_uinc * sz_u + e_vinc * sz_v,
+        e_kinc * sz_k * sinc + e_uinc * sz_u + e_vinc * sz_v,
+        e_kinc * sz_k * sinc + e_uinc * sz_u - e_vinc * sz_v,
+        e_kinc * sz_k * sinc - e_uinc * sz_u - e_vinc * sz_v,
+    ])
+    corners_w = p_inc[None, :] + corners_l @ R_inc.T
+
+    u_ax = (kref + 1) % 3
+    v_ax = (kref + 2) % 3
+    r_u = eye[u_ax]
+    r_v = eye[v_ax]
+    r_k = eye[kref]
+    su_ref = s_ref[u_ax]
+    sv_ref = s_ref[v_ax]
+    sk_ref = s_ref[kref]
+
+    def to_ref(q):
+        lq = R_ref.T @ (q - p_ref)
+        return jnp.stack([jnp.dot(lq, r_u), jnp.dot(lq, r_v),
+                          jnp.dot(lq, r_k)])
+
+    poly4 = jax.vmap(to_ref)(corners_w)
+    pts = jnp.concatenate([poly4, jnp.zeros((4, 3), dtype=dtype)], axis=0)
+    count = jnp.asarray(4, dtype=jnp.int32)
+    pts, count = _clip_polygon_axis(pts, count, 0, su_ref)
+    pts, count = _clip_polygon_axis(pts, count, 1, sv_ref)
+
+    valid = jnp.arange(8) < count
+    depth = pts[:, 2] * sref - sk_ref  # signed distance to the ref face
+
+    def to_world(q):
+        lq = r_u * q[0] + r_v * q[1] + r_k * q[2]
+        return p_ref + R_ref @ lq
+
+    pts_w = jax.vmap(to_world)(pts)
+    pos = pts_w - 0.5 * depth[:, None] * n_world[None, :]
+    dist = jnp.where(valid, depth, BIG)
+    return dist, pos
+
+
+def box_box(p1, m1, s1, p2, m2, s2):
+    """Box-box via separating axes (6 faces + 9 edge pairs); face contacts
+    produce a clipped manifold (up to 8 points), edge contacts one point."""
+    dtype = p1.dtype
+    R1, R2 = m1, m2
+    C = R1.T @ R2                      # box2 axes in box1 frame
+    pl = R1.T @ (p2 - p1)
+    eye = jnp.eye(3, dtype=dtype)
+
+    seps = []
+    normals_l = []                     # box1 frame, pointing box1 -> box2
+    for k in range(3):                 # box1 faces
+        rb = jnp.dot(jnp.abs(C[k, :]), s2)
+        sep = jnp.abs(pl[k]) - s1[k] - rb
+        seps.append(sep)
+        normals_l.append(eye[k] * jnp.sign(pl[k] + 1e-30))
+    for k in range(3):                 # box2 faces
+        axis_l = C[:, k]
+        proj = jnp.dot(pl, axis_l)
+        ra = jnp.dot(jnp.abs(axis_l), s1)
+        sep = jnp.abs(proj) - ra - s2[k]
+        seps.append(sep)
+        normals_l.append(axis_l * jnp.sign(proj + 1e-30))
+    for i in range(3):                 # edge-edge
+        for jj in range(3):
+            axis = jnp.cross(eye[i], C[:, jj])
+            nlen = jnp.linalg.norm(axis)
+            axis_n = axis / jnp.maximum(nlen, 1e-12)
+            proj = jnp.dot(pl, axis_n)
+            ra = jnp.dot(jnp.abs(axis_n), s1)
+            rb = jnp.dot(jnp.abs(axis_n @ C), s2)
+            sep = jnp.abs(proj) - ra - rb
+            # ODE-style fudge: prefer face axes; kill degenerate axes.
+            sep = jnp.where(nlen > 1e-9, sep - 1e-9, -BIG)
+            seps.append(sep)
+            normals_l.append(axis_n * jnp.sign(proj + 1e-30))
+
+    seps = jnp.stack(seps)
+    normals_l = jnp.stack(normals_l)
+    best = jnp.argmax(seps)
+    n_w = R1 @ normals_l[best]         # from box1 toward box2
+
+    use_f1 = best < 3
+    use_f2 = (best >= 3) & (best < 6)
+
+    d_f1, p_f1 = _box_face_manifold(p1, R1, s1, p2, R2, s2, n_w)
+    d_f2, p_f2 = _box_face_manifold(p2, R2, s2, p1, R1, s1, -n_w)
+
+    # Edge-edge: closest points between the two candidate edges.
+    # Support corners along +-n give the touching edge endpoints; use
+    # segment-segment closest points between the edges through those
+    # corners along directions eye[i] (box1) and C[:, jj] (box2).
+    ei = best - 6
+    i_idx = jnp.clip(ei // 3, 0, 2)
+    j_idx = jnp.clip(ei % 3, 0, 2)
+    dir1_l = eye[i_idx]
+    dir2_l = C[:, j_idx]
+    corner1_l = jnp.sign(R1.T @ n_w + 1e-30) * s1
+    corner1_l = corner1_l * (1.0 - eye[i_idx])  # zero the edge axis
+    corner2_l = jnp.sign(R2.T @ (-n_w) + 1e-30) * s2
+    corner2_l = corner2_l * (1.0 - eye[j_idx])
+    a1 = p1 + R1 @ (corner1_l - dir1_l * s1[i_idx])
+    b1 = p1 + R1 @ (corner1_l + dir1_l * s1[i_idx])
+    a2 = p2 + R2 @ (corner2_l * 1.0) - R1 @ (dir2_l * s2[j_idx])
+    a2 = p2 + R2 @ corner2_l - R1 @ dir2_l * s2[j_idx]
+    b2 = p2 + R2 @ corner2_l + R1 @ dir2_l * s2[j_idx]
+    c1e, c2e, _ = _segment_closest(a1, b1, a2, b2)
+    pos_e = 0.5 * (c1e + c2e)
+    d_e = jnp.concatenate([seps[best][None],
+                           jnp.full((7,), BIG, dtype=dtype)])
+    p_e = jnp.broadcast_to(pos_e, (8, 3))
+
+    dist = jnp.where(use_f1, d_f1, jnp.where(use_f2, d_f2, d_e))
+    pos = jnp.where(use_f1, p_f1, jnp.where(use_f2, p_f2, p_e))
+    nrm = jnp.broadcast_to(n_w, (8, 3))
+    return dist, pos, nrm
