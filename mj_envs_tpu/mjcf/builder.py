@@ -22,23 +22,12 @@ from ..physics.model import (
 )
 from . import parser as P
 
-# Max contacts my narrowphase emits per geom-type pair (type1 <= type2 after
-# canonical ordering plane < ... < box).
+# Max contacts the narrowphase emits per geom-type pair: single source of
+# truth is the collision driver's dispatch table.
+from ..physics.collision.driver import _FNS as _NARROWPHASE_FNS
+
 _MAXCON: Dict[Tuple[int, int], int] = {
-    (P.GEOM_PLANE, P.GEOM_SPHERE): 1,
-    (P.GEOM_PLANE, P.GEOM_CAPSULE): 2,
-    (P.GEOM_PLANE, P.GEOM_CYLINDER): 4,
-    (P.GEOM_PLANE, P.GEOM_BOX): 4,
-    (P.GEOM_SPHERE, P.GEOM_SPHERE): 1,
-    (P.GEOM_SPHERE, P.GEOM_CAPSULE): 1,
-    (P.GEOM_SPHERE, P.GEOM_CYLINDER): 1,
-    (P.GEOM_SPHERE, P.GEOM_BOX): 1,
-    (P.GEOM_CAPSULE, P.GEOM_CAPSULE): 2,
-    (P.GEOM_CAPSULE, P.GEOM_CYLINDER): 2,
-    (P.GEOM_CAPSULE, P.GEOM_BOX): 2,
-    (P.GEOM_CYLINDER, P.GEOM_CYLINDER): 4,
-    (P.GEOM_CYLINDER, P.GEOM_BOX): 4,
-    (P.GEOM_BOX, P.GEOM_BOX): 8,
+    key: maxcon for key, (_fn, maxcon) in _NARROWPHASE_FNS.items()
 }
 
 

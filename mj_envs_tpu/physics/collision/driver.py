@@ -1,0 +1,133 @@
+"""Collision driver: run narrowphase over all static candidate pairs and
+compact active contacts into a fixed-capacity buffer for the solver.
+
+The candidate pair list, slot layout, and per-type grouping are static
+(ModelSpec); only geometry flows through traced code.  Under vmap the
+grouped narrowphase calls become large batched elementwise ops.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..model import (Model, Contact, GEOM_PLANE, GEOM_SPHERE, GEOM_CAPSULE,
+                     GEOM_CYLINDER, GEOM_BOX)
+from ..kinematics import Kin
+from . import narrowphase as NP
+
+_FNS = {
+    (GEOM_PLANE, GEOM_SPHERE): (NP.plane_sphere, 1),
+    (GEOM_PLANE, GEOM_CAPSULE): (NP.plane_capsule, 2),
+    (GEOM_PLANE, GEOM_CYLINDER): (NP.plane_cylinder, 4),
+    (GEOM_PLANE, GEOM_BOX): (NP.plane_box, 8),
+    (GEOM_SPHERE, GEOM_SPHERE): (NP.sphere_sphere, 1),
+    (GEOM_SPHERE, GEOM_CAPSULE): (NP.sphere_capsule, 1),
+    (GEOM_SPHERE, GEOM_CYLINDER): (NP.sphere_cylinder, 1),
+    (GEOM_SPHERE, GEOM_BOX): (NP.sphere_box, 1),
+    (GEOM_CAPSULE, GEOM_CAPSULE): (NP.capsule_capsule, 2),
+    (GEOM_CAPSULE, GEOM_CYLINDER): (NP.capsule_cylinder, 2),
+    (GEOM_CAPSULE, GEOM_BOX): (NP.capsule_box, 2),
+    (GEOM_CYLINDER, GEOM_CYLINDER): (NP.cylinder_cylinder, 4),
+    (GEOM_CYLINDER, GEOM_BOX): (NP.cylinder_box, 4),
+    (GEOM_BOX, GEOM_BOX): (NP.box_box, 8),
+}
+
+
+class CompactContacts(NamedTuple):
+    """Fixed-capacity active contact set (ncmax slots)."""
+    pairid: jnp.ndarray   # (ncmax,) int — candidate pair index (or 0)
+    dist: jnp.ndarray     # (ncmax,)
+    pos: jnp.ndarray      # (ncmax, 3)
+    frame: jnp.ndarray    # (ncmax, 3, 3) rows [n, t1, t2]
+    active: jnp.ndarray   # (ncmax,) bool
+    geom1: jnp.ndarray    # (ncmax,) int
+    geom2: jnp.ndarray    # (ncmax,) int
+    condim: jnp.ndarray   # (ncmax,) int
+
+
+def _make_tangents(n: jnp.ndarray):
+    """Complete a right-handed frame from normals (mju_makeFrame rule:
+    seed with the world axis least aligned with n)."""
+    an = jnp.abs(n)
+    k = jnp.argmin(an, axis=-1)
+    e = jnp.eye(3, dtype=n.dtype)[k]
+    t1 = e - n * jnp.sum(n * e, axis=-1, keepdims=True)
+    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True),
+                          1e-12)
+    t2 = jnp.cross(n, t1)
+    return t1, t2
+
+
+def narrowphase_all(m: Model, kin: Kin) -> Contact:
+    """Run type-grouped narrowphase for every candidate pair; results land
+    in the static slot buffer."""
+    s = m.spec
+    dtype = kin.geom_xpos.dtype
+    dist = jnp.full((s.ncon_cap,), NP.BIG, dtype=dtype)
+    pos = jnp.zeros((s.ncon_cap, 3), dtype=dtype)
+    nrm = jnp.zeros((s.ncon_cap, 3), dtype=dtype)
+
+    gt = s.geom_type
+    # Group candidate pairs by type pair (static, python-level).
+    groups = {}
+    slot_of_pair = {}
+    # Map pair -> first slot (slots of one pair are contiguous).
+    seen = {}
+    for slot in range(s.ncon_cap):
+        pid = int(s.con_pairid[slot])
+        if pid not in seen:
+            seen[pid] = slot
+    for pid in range(s.npair):
+        key = (int(gt[s.pair_geom1[pid]]), int(gt[s.pair_geom2[pid]]))
+        groups.setdefault(key, []).append(pid)
+
+    for key, pids in groups.items():
+        fn, maxcon = _FNS[key]
+        pids_np = np.asarray(pids, dtype=np.int32)
+        g1 = s.pair_geom1[pids_np]
+        g2 = s.pair_geom2[pids_np]
+        out = jax.vmap(fn)(
+            kin.geom_xpos[g1], kin.geom_xmat[g1], m.geom_size[g1],
+            kin.geom_xpos[g2], kin.geom_xmat[g2], m.geom_size[g2],
+            m.pair_margin[pids_np])
+        d_g, p_g, n_g = out  # (P, maxcon, ...)
+        # Scatter into slots (static indices).
+        slot_idx = np.stack(
+            [np.arange(seen[pid], seen[pid] + maxcon) for pid in pids],
+            axis=0).reshape(-1)
+        dist = dist.at[slot_idx].set(d_g.reshape(-1))
+        pos = pos.at[slot_idx].set(p_g.reshape(-1, 3))
+        nrm = nrm.at[slot_idx].set(n_g.reshape(-1, 3))
+
+    margin = m.pair_margin[s.con_pairid]
+    active = dist < margin
+    t1, t2 = _make_tangents(nrm)
+    frame = jnp.stack([nrm, t1, t2], axis=-2)
+    return Contact(dist=dist, pos=pos, frame=frame, active=active)
+
+
+def compact(m: Model, con: Contact, ncmax: int) -> CompactContacts:
+    """Select up to ncmax active slots (slot order preserved)."""
+    s = m.spec
+    idx = jnp.nonzero(con.active, size=ncmax, fill_value=s.ncon_cap)[0]
+    valid = idx < s.ncon_cap
+    idx_c = jnp.minimum(idx, s.ncon_cap - 1)
+    pairid = jnp.asarray(s.con_pairid)[idx_c]
+    return CompactContacts(
+        pairid=pairid,
+        dist=jnp.where(valid, con.dist[idx_c], NP.BIG),
+        pos=con.pos[idx_c],
+        frame=con.frame[idx_c],
+        active=valid,
+        geom1=jnp.asarray(s.con_geom1)[idx_c],
+        geom2=jnp.asarray(s.con_geom2)[idx_c],
+        condim=jnp.where(valid, jnp.asarray(s.con_condim)[idx_c], 1),
+    )
+
+
+def collide(m: Model, kin: Kin, ncmax: int):
+    con = narrowphase_all(m, kin)
+    return con, compact(m, con, ncmax)

@@ -41,7 +41,7 @@ def _safe_normalize(v, fallback=None, eps=1e-12):
 # plane-X   (plane normal = column 2 of its frame; surface through pos1)
 # ---------------------------------------------------------------------------
 
-def plane_sphere(p1, m1, s1, p2, m2, s2):
+def plane_sphere(p1, m1, s1, p2, m2, s2, margin=0.0):
     n = m1[:, 2]
     r = s2[0]
     h = jnp.dot(n, p2 - p1)
@@ -50,7 +50,7 @@ def plane_sphere(p1, m1, s1, p2, m2, s2):
     return dist[None], pos[None], n[None]
 
 
-def plane_capsule(p1, m1, s1, p2, m2, s2):
+def plane_capsule(p1, m1, s1, p2, m2, s2, margin=0.0):
     n = m1[:, 2]
     axis = m2[:, 2]
     r, hl = s2[0], s2[1]
@@ -61,7 +61,7 @@ def plane_capsule(p1, m1, s1, p2, m2, s2):
     return dist, pos, jnp.stack([n, n])
 
 
-def plane_cylinder(p1, m1, s1, p2, m2, s2):
+def plane_cylinder(p1, m1, s1, p2, m2, s2, margin=0.0):
     """Up to 4 candidates, mirroring mujoco 3.x mjc_PlaneCylinder:
     deepest rim point of the near cap, two near-cap rim points at +-120deg,
     and the far-cap rim point at the deepest azimuth.  When the axis is
@@ -105,7 +105,7 @@ def plane_cylinder(p1, m1, s1, p2, m2, s2):
     return dist, pos, nrm
 
 
-def plane_box(p1, m1, s1, p2, m2, s2):
+def plane_box(p1, m1, s1, p2, m2, s2, margin=0.0):
     """All 8 corners; driver keeps the (up to) 4 deepest active ones."""
     n = m1[:, 2]
     signs = jnp.array(
@@ -122,7 +122,7 @@ def plane_box(p1, m1, s1, p2, m2, s2):
 # sphere-X
 # ---------------------------------------------------------------------------
 
-def sphere_sphere(p1, m1, s1, p2, m2, s2):
+def sphere_sphere(p1, m1, s1, p2, m2, s2, margin=0.0):
     d = p2 - p1
     n, ln = _safe_normalize(d)
     dist = ln - s1[0] - s2[0]
@@ -137,7 +137,7 @@ def _closest_on_segment(a, b, p):
     return a + t * ab
 
 
-def sphere_capsule(p1, m1, s1, p2, m2, s2):
+def sphere_capsule(p1, m1, s1, p2, m2, s2, margin=0.0):
     axis = m2[:, 2]
     hl = s2[1]
     c = _closest_on_segment(p2 - axis * hl, p2 + axis * hl, p1)
@@ -190,7 +190,7 @@ def _ortho(v):
     return w / jnp.linalg.norm(w)
 
 
-def sphere_cylinder(p1, m1, s1, p2, m2, s2):
+def sphere_cylinder(p1, m1, s1, p2, m2, s2, margin=0.0):
     axis = m2[:, 2]
     r2, hl = s2[0], s2[1]
     surf, inside = _closest_on_cylinder_surface(p1, p2, axis, r2, hl)
@@ -219,7 +219,7 @@ def _closest_on_box(p, c, m, size):
     return c + m @ lsurf, inside
 
 
-def sphere_box(p1, m1, s1, p2, m2, s2):
+def sphere_box(p1, m1, s1, p2, m2, s2, margin=0.0):
     surf, inside = _closest_on_box(p1, p2, m2, s2)
     d = surf - p1
     ln = jnp.linalg.norm(d)
@@ -258,7 +258,7 @@ def _segment_closest(a1, b1, a2, b2):
     return p1, p2c, parallel
 
 
-def capsule_capsule(p1, m1, s1, p2, m2, s2):
+def capsule_capsule(p1, m1, s1, p2, m2, s2, margin=0.0):
     """2 candidates: the generic closest-point contact, plus a second
     contact when the capsules are (near-)parallel, at the other end of the
     overlap interval (mujoco mjc_CapsuleCapsule behavior)."""
@@ -313,7 +313,7 @@ def _sphere_point_box(pt_w, r, p2, m2, s2):
     return dist, pos, n
 
 
-def capsule_box(p1, m1, s1, p2, m2, s2):
+def capsule_box(p1, m1, s1, p2, m2, s2, margin=0.0):
     """Capsule (geom1) vs box (geom2): up to 2 contacts.
 
     Mirrors the observed mujoco mjc_CapsuleBox manifold: the capsule axis
@@ -333,23 +333,17 @@ def capsule_box(p1, m1, s1, p2, m2, s2):
     bl = m2.T @ (b - p2)
     dl = bl - al
 
-    # Primary: exact closest point of the segment to the box, found by
-    # fixed-point iteration of t -> clamp projection (convex, converges).
-    t_fp = jnp.asarray(0.5, p1.dtype)
-    for _ in range(12):
-        pt = al + t_fp * dl
-        cl = jnp.clip(pt, -s2, s2)
-        t_fp = jnp.clip(jnp.dot(cl - al, dl)
-                        / jnp.maximum(jnp.dot(dl, dl), 1e-15), 0.0, 1.0)
-    pf_w = p2 + m2 @ (al + t_fp * dl)
-    dist_a, pos_a, n_a = _sphere_point_box(pf_w, r, p2, m2, s2)
-
-    # Secondary (line contact): when the capsule axis lies (near-)in the
-    # contact surface, clip the axis segment against the box slabs inflated
-    # by r and take the interval end farther from the primary point.
+    # Clip the axis segment against the box inflated by r; evaluate
+    # sphere-box contacts at both segment endpoints clamped into the clip
+    # interval.  This reproduces the observed mujoco mjc_CapsuleBox
+    # manifold: lying -> both endpoints (or the box-extent clip points for
+    # a long capsule), tilted -> the shallow end drops out via margin,
+    # end-cap contact -> the interval degenerates and mujoco's duplicated
+    # contact is reproduced.
     s_inf = s2 + r
     t_lo = jnp.asarray(0.0, p1.dtype)
     t_hi = jnp.asarray(1.0, p1.dtype)
+    miss = jnp.asarray(False)
     for k in range(3):
         dk = dl[k]
         parallel_k = jnp.abs(dk) < 1e-13
@@ -360,13 +354,42 @@ def capsule_box(p1, m1, s1, p2, m2, s2):
                          jnp.maximum(t_lo, jnp.minimum(t1, t2)))
         t_hi = jnp.where(parallel_k, t_hi,
                          jnp.minimum(t_hi, jnp.maximum(t1, t2)))
-    t_other = jnp.where(jnp.abs(t_fp - t_lo) > jnp.abs(t_fp - t_hi),
-                        t_lo, t_hi)
-    t_other = jnp.clip(t_other, 0.0, 1.0)
-    po_w = p2 + m2 @ (al + t_other * dl)
-    dist_b, pos_b, n_b = _sphere_point_box(po_w, r, p2, m2, s2)
-    line_contact = jnp.abs(jnp.dot(ax, n_a)) < 0.05
-    dist_b = jnp.where(line_contact & (t_hi >= t_lo), dist_b, BIG)
+        miss = miss | (parallel_k & (jnp.abs(al[k]) > s_inf[k]))
+    miss = miss | (t_lo > t_hi)
+
+    t_a = jnp.clip(jnp.asarray(0.0, p1.dtype), t_lo, t_hi)
+    t_b = jnp.clip(jnp.asarray(1.0, p1.dtype), t_lo, t_hi)
+
+    # Fallback for a miss: exact closest point of the segment to the box
+    # (fixed-point of t -> clamp projection; convex, converges) so margin
+    # inclusion still works.
+    def fp_body(_, t):
+        pt = al + t * dl
+        cl = jnp.clip(pt, -s2, s2)
+        return jnp.clip(jnp.dot(cl - al, dl)
+                        / jnp.maximum(jnp.dot(dl, dl), 1e-15), 0.0, 1.0)
+
+    t_fp = jax.lax.fori_loop(0, 12, fp_body,
+                             jnp.asarray(0.5, p1.dtype))
+    t_a = jnp.where(miss, t_fp, t_a)
+
+    pa_w = p2 + m2 @ (al + t_a * dl)
+    pb_w = p2 + m2 @ (al + t_b * dl)
+    dist_a, pos_a, n_a = _sphere_point_box(pa_w, r, p2, m2, s2)
+    dist_b, pos_b, n_b = _sphere_point_box(pb_w, r, p2, m2, s2)
+    dist_b = jnp.where(miss, BIG, dist_b)
+
+    # When neither clip endpoint reaches the margin (e.g. the segment
+    # crosses an edge/corner region with the deep point interior), fall
+    # back to the single closest-point contact.
+    pf2_w = p2 + m2 @ (al + t_fp * dl)
+    dist_f, pos_f, n_f = _sphere_point_box(pf2_w, r, p2, m2, s2)
+    neither = (dist_a >= margin) & (dist_b >= margin)
+    use_fb = miss | neither
+    dist_a = jnp.where(use_fb, dist_f, dist_a)
+    pos_a = jnp.where(use_fb, pos_f, pos_a)
+    n_a = jnp.where(use_fb, n_f, n_a)
+    dist_b = jnp.where(use_fb, BIG, dist_b)
 
     return (jnp.stack([dist_a, dist_b]), jnp.stack([pos_a, pos_b]),
             jnp.stack([n_a, n_b]))
@@ -376,7 +399,7 @@ def capsule_box(p1, m1, s1, p2, m2, s2):
 # cylinder pairs (approximate analytic; see module docstring)
 # ---------------------------------------------------------------------------
 
-def capsule_cylinder(p1, m1, s1, p2, m2, s2):
+def capsule_cylinder(p1, m1, s1, p2, m2, s2, margin=0.0):
     """Capsule (geom1) vs cylinder (geom2): up to 2 contacts.  The capsule
     segment's closest point to the solid cylinder is found by sampled+
     refined minimization; a parallel-contact second point handles the
@@ -403,13 +426,17 @@ def capsule_cylinder(p1, m1, s1, p2, m2, s2):
     lo = jnp.clip(ts[i] - 1.0 / 16.0, 0.0, 1.0)
     hi = jnp.clip(ts[i] + 1.0 / 16.0, 0.0, 1.0)
     gr = 0.618033988749895
-    for _ in range(24):
+
+    def gs_body(_, lh):
+        lo, hi = lh
         m_lo = hi - gr * (hi - lo)
         m_hi = lo + gr * (hi - lo)
         f_lo = point_dist(m_lo)[0]
         f_hi = point_dist(m_hi)[0]
-        lo, hi = jnp.where(f_lo < f_hi, lo, m_lo), jnp.where(
-            f_lo < f_hi, m_hi, hi)
+        return (jnp.where(f_lo < f_hi, lo, m_lo),
+                jnp.where(f_lo < f_hi, m_hi, hi))
+
+    lo, hi = jax.lax.fori_loop(0, 24, gs_body, (lo, hi))
     t_best = 0.5 * (lo + hi)
     dmin, pt, surf = point_dist(t_best)
     dvec = surf - pt
@@ -435,7 +462,7 @@ def capsule_cylinder(p1, m1, s1, p2, m2, s2):
             jnp.stack([n, n2]))
 
 
-def cylinder_cylinder(p1, m1, s1, p2, m2, s2):
+def cylinder_cylinder(p1, m1, s1, p2, m2, s2, margin=0.0):
     """Cylinder-cylinder, specialized for the suite's dominant regimes:
 
     * cap-cap (axes near-parallel, axial stacking — hammer face on nail
@@ -534,7 +561,7 @@ def cylinder_cylinder(p1, m1, s1, p2, m2, s2):
     return dist, pos, nrm
 
 
-def cylinder_box(p1, m1, s1, p2, m2, s2):
+def cylinder_box(p1, m1, s1, p2, m2, s2, margin=0.0):
     """Cylinder (geom1) vs box (geom2): 4 candidates.
 
     Regimes: cap-on-face (standing) -> 3 rim points like plane_cylinder
@@ -635,11 +662,13 @@ def _convex_contact(projA, projB, x0, shrink, fallback_n, iters=48,
     that normal (the support gap equals the true distance at the optimal
     normal, and is second-order accurate in the normal error).  Penetration
     beyond 2*shrink saturates.  n points from solid A toward solid B."""
-    y = x0
-    x = x0
-    for _ in range(iters):
+    def ap_body(_, xy):
+        x, y = xy
         x = projA(y)
         y = projB(x)
+        return (x, y)
+
+    x, y = jax.lax.fori_loop(0, iters, ap_body, (x0, x0))
     d = y - x
     ln = jnp.linalg.norm(d)
     n = jnp.where(ln > 1e-10, d / jnp.maximum(ln, 1e-10), fallback_n)
@@ -649,13 +678,12 @@ def _convex_contact(projA, projB, x0, shrink, fallback_n, iters=48,
         # is the difference of support points), then evaluate the gap.
         sppA, sppB = suppA, suppB
         gap = lambda v: -sppB(-v) - sppA(v)
-        n_best = n
-        gap_best = gap(n)
-        step = 0.25
-        for _ in range(24):
-            gA = jax.grad(sppA)(n)       # support point of A along n
-            gB = jax.grad(lambda v: -spp_neg(sppB, v))(n)
-            grad = gB - gA
+        gA_fn = jax.grad(sppA)
+        gB_fn = jax.grad(lambda v: -spp_neg(sppB, v))
+
+        def polish_body(_, st):
+            n, n_best, gap_best, step = st
+            grad = gB_fn(n) - gA_fn(n)
             tang = grad - jnp.dot(grad, n) * n
             n_try = n + step * tang
             n_try = n_try / jnp.maximum(jnp.linalg.norm(n_try), 1e-12)
@@ -665,8 +693,10 @@ def _convex_contact(projA, projB, x0, shrink, fallback_n, iters=48,
             gap_best = jnp.where(improved, g_try, gap_best)
             n = jnp.where(improved, n_try, n)
             step = jnp.where(improved, step, step * 0.5)
-        n = n_best
-        dist = gap_best
+            return (n, n_best, gap_best, step)
+
+        st0 = (n, n, gap(n), jnp.asarray(0.25, n.dtype))
+        _, n, dist, _ = jax.lax.fori_loop(0, 24, polish_body, st0)
     else:
         dist = ln - 2.0 * shrink
     pos = 0.5 * (x + y) + 0.0 * n
@@ -798,7 +828,7 @@ def _box_face_manifold(p_ref, R_ref, s_ref, p_inc, R_inc, s_inc, n_world):
     return dist, pos
 
 
-def box_box(p1, m1, s1, p2, m2, s2):
+def box_box(p1, m1, s1, p2, m2, s2, margin=0.0):
     """Box-box via separating axes (6 faces + 9 edge pairs); face contacts
     produce a clipped manifold (up to 8 points), edge contacts one point."""
     dtype = p1.dtype

@@ -1,0 +1,221 @@
+"""Constraint solver: primal Newton over qacc (MuJoCo's default solver for
+this suite — `DAPG_assets.xml:3` sets iterations=20, noslip_iterations=20
+with the default Newton solver and pyramidal cones), plus the noslip
+post-pass.
+
+The optimization problem is strictly convex:
+
+  min_qacc 0.5 (qacc - qacc_smooth)^T M (qacc - qacc_smooth) + sum_i s_i(jar_i)
+
+  jar_i = J_i qacc - aref_i
+  s_i   = 0.5 D jar^2            (one-sided rows, active when jar < 0)
+          Huber(D, fl)           (friction-loss rows: quadratic inside
+                                  |D jar| <= fl, linear outside)
+
+so any convergent method reaches the same qacc; we run a fixed number of
+exact-Hessian Newton steps with a safeguarded exact linesearch.  All shapes
+static; batched via vmap (the Hessian solve is a (nv, nv) Cholesky per env —
+tiny, maps to MXU batched ops).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .constraint import Rows
+
+
+def _forces(rows: Rows, jar: jnp.ndarray):
+    """Constraint force f(jar) and the active-quadratic mask."""
+    is_fric = rows.floss > 0
+    f_quad = -rows.D * jar
+    f_fric = jnp.clip(f_quad, -rows.floss, rows.floss)
+    f_one = jnp.where(jar < 0, f_quad, 0.0)
+    f = jnp.where(is_fric, f_fric, f_one)
+    quad = jnp.where(
+        is_fric, jnp.abs(f_quad) <= rows.floss, jar < 0) & rows.active
+    return f * rows.active, quad
+
+
+def _cost_rows(rows: Rows, jar: jnp.ndarray):
+    is_fric = rows.floss > 0
+    quad_cost = 0.5 * rows.D * jar * jar
+    lin_cost = rows.floss * jnp.abs(jar) \
+        - 0.5 * rows.floss ** 2 / jnp.maximum(rows.D, 1e-30)
+    fric_cost = jnp.where(jnp.abs(rows.D * jar) <= rows.floss,
+                          quad_cost, lin_cost)
+    one_cost = jnp.where(jar < 0, quad_cost, 0.0)
+    return jnp.sum(jnp.where(is_fric, fric_cost, one_cost) * rows.active)
+
+
+def _total_cost(M, qacc, qacc_smooth, rows, jar):
+    dq = qacc - qacc_smooth
+    return 0.5 * dq @ (M @ dq) + _cost_rows(rows, jar)
+
+
+class SolveResult(NamedTuple):
+    qacc: jnp.ndarray
+    efc_force: jnp.ndarray
+    jar: jnp.ndarray
+
+
+def newton_solve(M: jnp.ndarray, qacc_smooth: jnp.ndarray, rows: Rows,
+                 qacc_warmstart: jnp.ndarray, iterations: int,
+                 ls_iterations: int = 16) -> SolveResult:
+    # Start from the lower-cost of warmstart / smooth (mj_fwdConstraint).
+    jar_s = rows.J @ qacc_smooth - rows.aref
+    jar_w = rows.J @ qacc_warmstart - rows.aref
+    cost_s = _total_cost(M, qacc_smooth, qacc_smooth, rows, jar_s)
+    cost_w = _total_cost(M, qacc_warmstart, qacc_smooth, rows, jar_w)
+    use_w = cost_w < cost_s
+    qacc = jnp.where(use_w, qacc_warmstart, qacc_smooth)
+    jar = jnp.where(use_w, jar_w, jar_s)
+
+    nv = qacc.shape[0]
+    eye = jnp.eye(nv, dtype=qacc.dtype)
+
+    def body(carry, _):
+        qacc, jar = carry
+        f, quad = _forces(rows, jar)
+        grad = M @ (qacc - qacc_smooth) - rows.J.T @ f
+        w = jnp.where(quad, rows.D, 0.0)
+        H = M + (rows.J.T * w) @ rows.J
+        # Levenberg guard for numerical safety (H is PD in exact math).
+        L = jnp.linalg.cholesky(H + 1e-12 * eye)
+        p = -jax.scipy.linalg.cho_solve((L, True), grad)
+
+        # Exact linesearch on the piecewise-quadratic phi(alpha).
+        Jp = rows.J @ p
+        Mp = M @ p
+        c1 = p @ (M @ (qacc - qacc_smooth))
+        c2 = p @ Mp
+
+        def dphi(alpha):
+            jar_a = jar + alpha * Jp
+            f_a, quad_a = _forces(rows, jar_a)
+            return c1 + alpha * c2 - jnp.sum(f_a * Jp)
+
+        def ddphi(alpha):
+            jar_a = jar + alpha * Jp
+            _, quad_a = _forces(rows, jar_a)
+            return c2 + jnp.sum(jnp.where(quad_a, rows.D, 0.0) * Jp * Jp)
+
+        # Bracket: phi'(0) < 0 (descent); expand hi until phi'(hi) >= 0.
+        hi = jax.lax.fori_loop(
+            0, 12,
+            lambda _, h: jnp.where(dphi(h) < 0, h * 2.0, h),
+            jnp.asarray(1.0, dtype=qacc.dtype))
+        lo = jnp.asarray(0.0, dtype=qacc.dtype)
+
+        def ls_body(_, st):
+            lo, hi, alpha = st
+            d1 = dphi(alpha)
+            d2 = ddphi(alpha)
+            lo = jnp.where(d1 < 0, alpha, lo)
+            hi = jnp.where(d1 < 0, hi, alpha)
+            a_newton = alpha - d1 / jnp.maximum(d2, 1e-30)
+            inside = (a_newton > lo) & (a_newton < hi)
+            alpha = jnp.where(inside, a_newton, 0.5 * (lo + hi))
+            return (lo, hi, alpha)
+
+        lo, hi, alpha = jax.lax.fori_loop(
+            0, ls_iterations, ls_body, (lo, hi, jnp.minimum(hi, 1.0)))
+
+        qacc_new = qacc + alpha * p
+        jar_new = jar + alpha * Jp
+        return (qacc_new, jar_new), None
+
+    (qacc, jar), _ = jax.lax.scan(body, (qacc, jar), None,
+                                  length=iterations)
+    f, _ = _forces(rows, jar)
+    return SolveResult(qacc=qacc, efc_force=f, jar=jar)
+
+
+def noslip(M: jnp.ndarray, rows: Rows, res: SolveResult,
+           n_fric_dof: int, ncmax: int, iterations: int) -> SolveResult:
+    """Noslip post-pass: modified PGS over friction components only,
+    without constraint regularization (suppresses friction drift; the
+    reference model sets noslip_iterations=20, `DAPG_assets.xml:3`).
+
+    Gauss-Seidel sweeps over (a) dof friction-loss rows (force box-clamped
+    to +-frictionloss) and (b) pyramidal facet +- pairs per contact (the
+    facet *difference* is updated with the sum — i.e. the normal force —
+    held fixed, and both facets kept >= 0).
+    """
+    nv = M.shape[0]
+    nefc = rows.J.shape[0]
+    dtype = M.dtype
+
+    Minv = jnp.linalg.inv(M)
+
+    # Build the friction "update directions": one per dof-friction row and
+    # one per (contact, friction-direction) facet pair.
+    # dof rows are the first n_fric_dof rows; contact rows are the last
+    # ncmax*6, laid out [+t1, -t1, +t2, -t2, +tor, -tor] per contact.
+    con_base = nefc - ncmax * 6
+
+    # Direction matrices (static structure).
+    # dof friction: d_k = J_row (unit dof row).
+    idx_dof = jnp.arange(n_fric_dof)
+    # facet pairs: Jd = (J+ - J-) / 2 = mu * Jt ; bd = (aref+ - aref-)/2.
+    pair_plus = con_base + jnp.arange(ncmax * 3) * 2
+    pair_minus = pair_plus + 1
+
+    J = rows.J
+    Jd_pairs = 0.5 * (J[pair_plus] - J[pair_minus])        # (3C, nv)
+    bd_pairs = 0.5 * (rows.aref[pair_plus] - rows.aref[pair_minus])
+    J_dof = J[idx_dof]
+    b_dof = rows.aref[idx_dof]
+
+    D_all = jnp.concatenate([J_dof, Jd_pairs], axis=0)     # (R, nv)
+    b_all = jnp.concatenate([b_dof, bd_pairs])
+    MD = D_all @ Minv                                      # (R, nv)
+    a_diag = jnp.sum(MD * D_all, axis=1)                   # (R,)
+    a_safe = jnp.where(a_diag > 1e-12, a_diag, 1.0)
+
+    nR = n_fric_dof + ncmax * 3
+    fl_dof = rows.floss[idx_dof]
+    active_pairs = rows.active[pair_plus] & rows.active[pair_minus]
+
+    # State: qacc, plus per-row friction variables.
+    f_dof0 = res.efc_force[idx_dof]
+    fp0 = res.efc_force[pair_plus]
+    fm0 = res.efc_force[pair_minus]
+    u0 = jnp.concatenate([f_dof0, fp0 - fm0])              # friction vars
+    ssum = fp0 + fm0                                       # fixed per pair
+
+    lo = jnp.concatenate([-fl_dof, -ssum])
+    hi = jnp.concatenate([fl_dof, ssum])
+    live = jnp.concatenate(
+        [jnp.ones(n_fric_dof, dtype=bool), active_pairs])
+
+    def row_update(carry, k):
+        qacc, u = carry
+        r = D_all[k] @ qacc - b_all[k]
+        du = -r / a_safe[k]
+        u_new = jnp.clip(u[k] + du, lo[k], hi[k])
+        du_act = jnp.where(live[k] & (a_diag[k] > 1e-12),
+                           u_new - u[k], 0.0)
+        qacc = qacc + MD[k] * du_act
+        u = u.at[k].set(u[k] + du_act)
+        return (qacc, u), None
+
+    def sweep(carry, _):
+        carry, _ = jax.lax.scan(row_update, carry, jnp.arange(nR))
+        return carry, None
+
+    (qacc, u), _ = jax.lax.scan(sweep, (res.qacc, u0), None,
+                                length=iterations)
+
+    f_dof = u[:n_fric_dof]
+    ud = u[n_fric_dof:]
+    fp = 0.5 * (ssum + ud)
+    fm = 0.5 * (ssum - ud)
+    efc = res.efc_force
+    efc = efc.at[idx_dof].set(f_dof)
+    efc = efc.at[pair_plus].set(fp)
+    efc = efc.at[pair_minus].set(fm)
+    jar = rows.J @ qacc - rows.aref
+    return SolveResult(qacc=qacc, efc_force=efc, jar=jar)
