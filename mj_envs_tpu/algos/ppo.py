@@ -1,0 +1,165 @@
+"""PPO in JAX — the TPU-native counterpart of the reference's SB3 wrapper
+(`mj_envs_vision/algos/baselines.py:106-183`: clipped-surrogate PPO with
+ActorCriticPolicy, `update()` = learn(n_steps), metrics scraped from the
+SB3 logger `:169-175`).
+
+Differences by design (not omissions): rollouts are collected on-device
+from thousands of vectorized envs (the reference steps ONE env on CPU);
+the whole iteration (rollout scan + GAE + minibatch epochs) is a single
+jitted function; gradients are averaged across the mesh automatically by
+XLA when params are replicated and data is env-sharded.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from . import networks as N
+from ..envs.base import AdroitEnv, EnvState
+
+
+class PPOConfig(NamedTuple):
+    lr: float = 3e-4
+    n_steps: int = 64            # rollout length per iteration
+    n_minibatches: int = 8
+    n_epochs: int = 4
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_eps: float = 0.2
+    vf_coef: float = 0.5
+    ent_coef: float = 0.0
+    max_grad_norm: float = 0.5
+    hidden: Tuple[int, ...] = (64, 64)
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    key: jax.Array
+
+
+class Transition(NamedTuple):
+    obs: jnp.ndarray
+    action: jnp.ndarray
+    log_prob: jnp.ndarray
+    value: jnp.ndarray
+    reward: jnp.ndarray
+    done: jnp.ndarray
+
+
+def make_ppo(env: AdroitEnv, num_envs: int, cfg: PPOConfig = PPOConfig()):
+    """Build (init_fn, train_iter_fn, act_fn) closures for `env`.
+
+    train_iter_fn(train_state, env_state) -> (train_state, env_state,
+    metrics): one full PPO iteration (rollout + update), jittable and
+    shardable (env axis on env_state, replicated params)."""
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adam(cfg.lr))
+    v_step = jax.vmap(env.step_auto_reset)
+
+    def init_fn(key: jax.Array) -> TrainState:
+        kp, kt = jax.random.split(key)
+        params = N.actor_critic_init(kp, env.OBS_DIM, env.nu, cfg.hidden)
+        return TrainState(params=params, opt_state=tx.init(params), key=kt)
+
+    def act_fn(params, obs, key):
+        mean, log_std, value = N.actor_critic_apply(params, obs)
+        action = N.gaussian_sample(key, mean, log_std)
+        return action, N.gaussian_log_prob(mean, log_std, action), value
+
+    def rollout(params, env_state: EnvState, key):
+        def step_fn(carry, _):
+            es, k = carry
+            k, ka = jax.random.split(k)
+            action, logp, value = act_fn(params, es.obs, ka)
+            es2 = v_step(es, jnp.clip(action, -1.0, 1.0))
+            tr = Transition(obs=es.obs, action=action, log_prob=logp,
+                            value=value, reward=es2.reward, done=es2.done)
+            return (es2, k), tr
+
+        (env_state, _), traj = jax.lax.scan(
+            step_fn, (env_state, key), None, length=cfg.n_steps)
+        return env_state, traj
+
+    def gae(traj: Transition, last_value):
+        def scan_fn(carry, tr):
+            adv_next, v_next = carry
+            nonterm = 1.0 - tr.done.astype(tr.value.dtype)
+            delta = tr.reward + cfg.gamma * v_next * nonterm - tr.value
+            adv = delta + cfg.gamma * cfg.gae_lambda * nonterm * adv_next
+            return (adv, tr.value), adv
+
+        (_, _), advs = jax.lax.scan(
+            scan_fn, (jnp.zeros_like(last_value), last_value), traj,
+            reverse=True)
+        return advs, advs + traj.value
+
+    def loss_fn(params, batch, adv, ret):
+        mean, log_std, value = N.actor_critic_apply(params, batch.obs)
+        logp = N.gaussian_log_prob(mean, log_std, batch.action)
+        ratio = jnp.exp(logp - batch.log_prob)
+        adv_n = (adv - adv.mean()) / (adv.std() + 1e-8)
+        pg1 = ratio * adv_n
+        pg2 = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv_n
+        pg_loss = -jnp.mean(jnp.minimum(pg1, pg2))
+        v_loss = 0.5 * jnp.mean((value - ret) ** 2)
+        ent = jnp.mean(N.gaussian_entropy(log_std))
+        total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * ent
+        clip_frac = jnp.mean(
+            (jnp.abs(ratio - 1.0) > cfg.clip_eps).astype(jnp.float32))
+        approx_kl = jnp.mean(batch.log_prob - logp)
+        return total, dict(pg_loss=pg_loss, v_loss=v_loss, entropy=ent,
+                           clip_fraction=clip_frac, approx_kl=approx_kl)
+
+    def update(train_state: TrainState, traj: Transition, advs, rets):
+        T, B = traj.reward.shape
+        flat = jax.tree_util.tree_map(
+            lambda x: x.reshape(T * B, *x.shape[2:]), traj)
+        advs = advs.reshape(T * B)
+        rets = rets.reshape(T * B)
+        mb = (T * B) // cfg.n_minibatches
+
+        def epoch(carry, _):
+            params, opt_state, key = carry
+            key, kp = jax.random.split(key)
+            perm = jax.random.permutation(kp, T * B)
+
+            def minibatch(carry, idx):
+                params, opt_state = carry
+                sel = jax.lax.dynamic_slice_in_dim(perm, idx * mb, mb)
+                batch = jax.tree_util.tree_map(lambda x: x[sel], flat)
+                (_, metrics), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params, batch, advs[sel],
+                                           rets[sel])
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), metrics
+
+            (params, opt_state), metrics = jax.lax.scan(
+                minibatch, (params, opt_state),
+                jnp.arange(cfg.n_minibatches))
+            return (params, opt_state, key), metrics
+
+        (params, opt_state, key), metrics = jax.lax.scan(
+            epoch, (train_state.params, train_state.opt_state,
+                    train_state.key), None, length=cfg.n_epochs)
+        metrics = jax.tree_util.tree_map(lambda x: x.mean(), metrics)
+        return TrainState(params, opt_state, key), metrics
+
+    def train_iter_fn(train_state: TrainState, env_state: EnvState):
+        key, kr = jax.random.split(train_state.key)
+        train_state = train_state._replace(key=key)
+        env_state, traj = rollout(train_state.params, env_state, kr)
+        _, _, last_value = N.actor_critic_apply(train_state.params,
+                                                env_state.obs)
+        advs, rets = gae(traj, last_value)
+        train_state, metrics = update(train_state, traj, advs, rets)
+        metrics["mean_reward"] = traj.reward.mean()
+        metrics["mean_episode_done"] = traj.done.astype(jnp.float32).mean()
+        return train_state, env_state, metrics
+
+    return init_fn, train_iter_fn, act_fn

@@ -154,8 +154,10 @@ def build(spec: P.MjcfSpec, dtype=np.float64) -> Model:
             hi = ga if ga.priority > gb.priority else gb
             fr = hi.friction
             friction5 = np.array([fr[0], fr[0], fr[1], fr[2], fr[2]])
-            return (hi.condim, friction5, max(ga.margin, gb.margin),
-                    max(ga.gap, gb.gap), hi.solref.copy(), hi.solimp.copy())
+            # mj_collideGeoms SUMS the two geoms' margins and gaps
+            # (verified vs oracle: 0.0005+0.0005 -> includemargin 0.001).
+            return (hi.condim, friction5, ga.margin + gb.margin,
+                    ga.gap + gb.gap, hi.solref.copy(), hi.solimp.copy())
         condim = max(ga.condim, gb.condim)
         mix1, mix2 = ga.solmix, gb.solmix
         if mix1 >= 1e-15 and mix2 >= 1e-15:
@@ -174,8 +176,8 @@ def build(spec: P.MjcfSpec, dtype=np.float64) -> Model:
         solimp = w1 * ga.solimp + w2 * gb.solimp
         fr = np.maximum(ga.friction, gb.friction)
         friction5 = np.array([fr[0], fr[0], fr[1], fr[2], fr[2]])
-        return (condim, friction5, max(ga.margin, gb.margin),
-                max(ga.gap, gb.gap), solref, solimp)
+        return (condim, friction5, ga.margin + gb.margin,
+                ga.gap + gb.gap, solref, solimp)
 
     for g1 in range(ngeom):
         for g2 in range(g1 + 1, ngeom):

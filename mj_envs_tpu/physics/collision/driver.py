@@ -49,11 +49,15 @@ class CompactContacts(NamedTuple):
 
 
 def _make_tangents(n: jnp.ndarray):
-    """Complete a right-handed frame from normals (mju_makeFrame rule:
-    seed with the world axis least aligned with n)."""
-    an = jnp.abs(n)
-    k = jnp.argmin(an, axis=-1)
-    e = jnp.eye(3, dtype=n.dtype)[k]
+    """Complete a right-handed frame from normals, exactly mju_makeFrame:
+    seed with +Z when |n_z| < 0.5 else +Y, orthogonalize, cross.  The seed
+    choice fixes the friction-pyramid facet directions, which are
+    observable through the solved contact forces (oracle diff showed the
+    rotated-facet error directly)."""
+    z_seed = jnp.abs(n[..., 2]) < 0.5
+    e = jnp.where(z_seed[..., None],
+                  jnp.array([0.0, 0.0, 1.0], dtype=n.dtype),
+                  jnp.array([0.0, 1.0, 0.0], dtype=n.dtype))
     t1 = e - n * jnp.sum(n * e, axis=-1, keepdims=True)
     t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True),
                           1e-12)

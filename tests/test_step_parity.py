@@ -1,0 +1,101 @@
+"""End-to-end mj_step trajectory parity vs the mujoco oracle.
+
+This is BASELINE config #1 (the correctness gate): fixed-seed random-action
+rollouts on each task, comparing qpos/qvel against the oracle driven with
+identical controls (the reference's hot loop is `do_simulation` ->
+`mj_step`, `mj_envs_vision/hand_manipulation_suite/hammer_v0.py:60`).
+
+Tolerances: while joint limits / tendons / friction loss are the only active
+constraints the pipeline matches the oracle to ~1e-14 per step (machine
+noise under accumulation).  Once convex-pair contacts activate, the oracle's
+native-CCD narrowphase carries ~1e-9 dist / ~1e-3 normal noise of its own
+(duplicate polygon points, EPA jitter), so contact-rich rollouts get a
+looser bound.  Solver-level parity given identical contact geometry is
+2e-12 (verified by injection in development probes).
+"""
+import numpy as np
+import pytest
+
+from conftest import requires_mujoco, requires_reference
+
+pytestmark = [requires_mujoco, requires_reference]
+
+TASKS = ["hammer", "door", "pen", "relocate"]
+
+
+def _setup(task):
+    import jax
+    import jax.numpy as jnp
+    import mujoco
+    from mj_envs_tpu.mjcf import oracle as O, builder as B
+    from mj_envs_tpu.physics import pipeline, model as M
+
+    xml = O.sanitize(O.task_xml_path(task))
+    mm = mujoco.MjModel.from_xml_string(xml)
+    md = mujoco.MjData(mm)
+    m = B.build_from_xml(O.task_xml_path(task))
+    d = M.make_data(m)
+    mujoco.mj_forward(mm, md)
+    step = jax.jit(pipeline.step)
+    return mm, md, m, d, step, jnp, mujoco
+
+
+@pytest.mark.parametrize("task", TASKS)
+def test_trajectory_parity_50(task):
+    """50 steps (10 env-steps at frame_skip 5) of random ctrl in [-1, 1]
+    applied to the raw actuator space."""
+    mm, md, m, d, step, jnp, mujoco = _setup(task)
+    rng = np.random.default_rng(0)
+
+    worst_q = worst_v = 0.0
+    for t in range(50):
+        ctrl = rng.uniform(-1.0, 1.0, mm.nu)
+        md.ctrl[:] = ctrl
+        mujoco.mj_step(mm, md)
+        d = step(m, d, jnp.asarray(ctrl))
+        worst_q = max(worst_q, float(np.max(np.abs(np.asarray(d.qpos)
+                                                   - md.qpos))))
+        worst_v = max(worst_v, float(np.max(np.abs(np.asarray(d.qvel)
+                                                   - md.qvel))))
+    assert worst_q < 5e-5, f"{task}: qpos drift {worst_q}"
+    assert worst_v < 5e-3, f"{task}: qvel drift {worst_v}"
+
+
+@pytest.mark.parametrize("task", TASKS)
+def test_trajectory_parity_precontact(task):
+    """Before any convex-CCD contact fires, parity must be ~bit-exact."""
+    mm, md, m, d, step, jnp, mujoco = _setup(task)
+    rng = np.random.default_rng(0)
+
+    for t in range(15):
+        ctrl = rng.uniform(-1.0, 1.0, mm.nu)
+        md.ctrl[:] = ctrl
+        mujoco.mj_step(mm, md)
+        d = step(m, d, jnp.asarray(ctrl))
+        dq = float(np.max(np.abs(np.asarray(d.qpos) - md.qpos)))
+        if md.ncon > 0:
+            return  # contacts started; covered by the 50-step test
+        assert dq < 1e-12, f"{task} t={t}: qpos drift {dq}"
+
+
+@pytest.mark.parametrize("task", TASKS)
+def test_resynced_single_step(task):
+    """Per-step parity from oracle states along a 40-step rollout: resync
+    our state to the oracle before every step and bound the one-step
+    error (isolates genuine model error from chaotic accumulation)."""
+    mm, md, m, d, step, jnp, mujoco = _setup(task)
+    rng = np.random.default_rng(1)
+
+    worst_v = 0.0
+    for t in range(40):
+        ctrl = rng.uniform(-1.0, 1.0, mm.nu)
+        d = d.replace(
+            qpos=jnp.asarray(md.qpos.copy()),
+            qvel=jnp.asarray(md.qvel.copy()),
+            qacc_warmstart=jnp.asarray(md.qacc_warmstart.copy()))
+        md.ctrl[:] = ctrl
+        mujoco.mj_step(mm, md)
+        d = step(m, d, jnp.asarray(ctrl))
+        worst_v = max(worst_v, float(np.max(np.abs(np.asarray(d.qvel)
+                                                   - md.qvel))))
+    assert worst_v < 2e-3, f"{task}: one-step qvel err {worst_v}"
