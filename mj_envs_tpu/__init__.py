@@ -22,3 +22,20 @@ if _os.environ.get("MJ_ENVS_TPU_CACHE", "1") != "0":
         enable_compilation_cache()
     except Exception:
         pass
+
+
+def _force_f32_matmuls() -> None:
+    """TPU default matmul precision is bf16, which corrupts the physics
+    (measured: 1.6e-3 qpos divergence in 30 steps vs 6e-8 at 'highest';
+    expert policies then fail or NaN).  Physics matmuls are tiny, so the
+    'highest' MXU passes cost little; NN-heavy code can locally override
+    with jax.default_matmul_precision(...) context managers."""
+    import jax
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+
+if _os.environ.get("MJ_ENVS_TPU_BF16_MATMUL", "0") != "1":
+    try:
+        _force_f32_matmuls()
+    except Exception:
+        pass

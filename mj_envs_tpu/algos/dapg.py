@@ -76,6 +76,16 @@ def load_dapg_params(path: str) -> Dict[str, np.ndarray]:
             return np.asarray(x.detach().numpy(), np.float64)
         return np.asarray(x, np.float64)
 
+    # mjrl pickles store the nonlinearity as the torch FUNCTION object
+    # (e.g. <built-in method tanh>), not a string — normalize by name.
+    nonlin = net.get("nonlinearity", "tanh")
+    nonlin = getattr(nonlin, "__name__", str(nonlin)).lower()
+    if "tanh" in nonlin:
+        nonlin = "tanh"
+    elif "relu" in nonlin:
+        nonlin = "relu"
+    else:
+        raise ValueError(f"unknown mjrl nonlinearity {nonlin!r}")
     return {
         "layers": layers,
         "log_std": t2np(st["log_std"]),
@@ -85,7 +95,7 @@ def load_dapg_params(path: str) -> Dict[str, np.ndarray]:
         "out_scale": t2np(net["out_scale"]),
         "obs_dim": int(net["obs_dim"]),
         "act_dim": int(net["act_dim"]),
-        "nonlinearity": net.get("nonlinearity", "tanh"),
+        "nonlinearity": nonlin,
     }
 
 

@@ -788,10 +788,13 @@ def _clip_polygon_axis(pts, count, axis, bound):
                            & (jnp.abs(denom) > 1e-13))
         pts16 = jnp.stack(out_pts)
         val16 = jnp.stack(out_val)
-        rank = jnp.cumsum(val16) - 1
-        idx = jnp.where(val16 & (rank < 8), rank, 8)
-        new_pts = jnp.zeros((9, pts.shape[1]), dtype=dtype).at[idx].set(
-            pts16)[:8]
+        # Gather-based compaction (stable order): scatter compaction is
+        # extremely slow on TPU (serialized dynamic-update-slices); an
+        # argsort over (invalid-last, original index) keeps ring order
+        # and lowers to a fully vectorized sorting network.
+        order = jnp.argsort(jnp.where(val16, 0, 1) * 16
+                            + jnp.arange(16))
+        new_pts = pts16[order[:8]]
         new_count = jnp.minimum(jnp.sum(val16), 8)
         return new_pts, new_count
 

@@ -174,13 +174,16 @@ def make_rows(m: Model, kin: Kin, qpos: jnp.ndarray, qvel: jnp.ndarray,
     invw = (m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0])
     mu1 = mu[:, 0]
     # mj_diagApprox, determined empirically against the oracle across
-    # mu in {0.1..3} and condim in {1,3,4}: every row of a contact —
-    # including the frictionless condim=1 normal row — uses
-    # 2*max(2, mu^2*(1+mu^2)) * (trans invweight sum).  impratio=1
-    # throughout this suite; division kept for parameter parity.
+    # mu in {0.1..3} and condim in {1,3,4}: pyramidal rows use
+    # 2*max(2, mu^2*(1+mu^2)) * (trans invweight sum); frictionless
+    # condim=1 rows use the plain invweight sum (verified via explicit
+    # <pair condim=1> — a geom-level condim=1 is silently promoted to 3
+    # by mj_contactParam when the partner geom has condim 3, which is
+    # why only pair-level probes expose this).  impratio=1 throughout
+    # this suite; division kept for parameter parity.
     diag_pyr = 2.0 * jnp.maximum(2.0, mu1 * mu1 * (1.0 + mu1 * mu1)) \
         * invw / s.impratio
-    diag_n = diag_pyr
+    diag_n = invw
     condim = con.condim
 
     # facet slots: 0,1 = +-t1 ; 2,3 = +-t2 ; 4,5 = +-torsion.

@@ -76,8 +76,16 @@ def newton_solve(M: jnp.ndarray, qacc_smooth: jnp.ndarray, rows: Rows,
     nv = qacc.shape[0]
     eye = jnp.eye(nv, dtype=qacc.dtype)
 
-    def body(carry, _):
-        qacc, jar = carry
+    # Early exit when the cost improvement falls to the dtype noise floor
+    # (f32 rollouts typically converge in ~5 of the 20 budgeted
+    # iterations; f64 parity runs exit at ~2e-15 relative, preserving the
+    # oracle match).  Under vmap this lifts to "run while ANY env is
+    # unconverged", which still saves most iterations in steady state.
+    tol_rel = 10.0 * jnp.finfo(qacc.dtype).eps
+    cost0 = jnp.where(use_w, cost_w, cost_s)
+
+    def body(carry):
+        qacc, jar, it, prev_cost, done = carry
         f, quad = _forces(rows, jar)
         grad = M @ (qacc - qacc_smooth) - rows.J.T @ f
         w = jnp.where(quad, rows.D, 0.0)
@@ -125,10 +133,23 @@ def newton_solve(M: jnp.ndarray, qacc_smooth: jnp.ndarray, rows: Rows,
 
         qacc_new = qacc + alpha * p
         jar_new = jar + alpha * Jp
-        return (qacc_new, jar_new), None
+        cost_new = _total_cost(M, qacc_new, qacc_smooth, rows, jar_new)
+        improved = prev_cost - cost_new
+        done_new = improved <= tol_rel * (1.0 + jnp.abs(cost_new))
+        # Reject non-improving steps (keeps the fixed-point stable).
+        keep = improved >= 0
+        qacc_new = jnp.where(keep, qacc_new, qacc)
+        jar_new = jnp.where(keep, jar_new, jar)
+        cost_new = jnp.where(keep, cost_new, prev_cost)
+        return (qacc_new, jar_new, it + 1, cost_new, done_new)
 
-    (qacc, jar), _ = jax.lax.scan(body, (qacc, jar), None,
-                                  length=iterations)
+    def cond(carry):
+        _, _, it, _, done = carry
+        return (it < iterations) & ~done
+
+    qacc, jar, _, _, _ = jax.lax.while_loop(
+        cond, body, (qacc, jar, jnp.asarray(0, jnp.int32), cost0,
+                     jnp.asarray(False)))
     f, _ = _forces(rows, jar)
     return SolveResult(qacc=qacc, efc_force=f, jar=jar)
 
@@ -191,23 +212,29 @@ def noslip(M: jnp.ndarray, rows: Rows, res: SolveResult,
     live = jnp.concatenate(
         [jnp.ones(n_fric_dof, dtype=bool), active_pairs])
 
+    # Gauss-Seidel in residual form: carrying r = D qacc - b instead of
+    # qacc makes each row update O(R) VPU work with no dynamic-slice of
+    # (nv)-vectors, and hoists the qacc reconstruction to one matmul at
+    # the end.  A = D Minv D^T is built once on the MXU.
+    A = MD @ D_all.T                                       # (R, R)
+    gate = live & (a_diag > 1e-12)
+    r0 = D_all @ res.qacc - b_all                          # (R,)
+
     def row_update(carry, k):
-        qacc, u = carry
-        r = D_all[k] @ qacc - b_all[k]
-        du = -r / a_safe[k]
+        r, u = carry
+        du = -r[k] / a_safe[k]
         u_new = jnp.clip(u[k] + du, lo[k], hi[k])
-        du_act = jnp.where(live[k] & (a_diag[k] > 1e-12),
-                           u_new - u[k], 0.0)
-        qacc = qacc + MD[k] * du_act
-        u = u.at[k].set(u[k] + du_act)
-        return (qacc, u), None
+        du_act = jnp.where(gate[k], u_new - u[k], 0.0)
+        r = r + A[:, k] * du_act
+        u = u.at[k].add(du_act)
+        return (r, u), None
 
     def sweep(carry, _):
         carry, _ = jax.lax.scan(row_update, carry, jnp.arange(nR))
         return carry, None
 
-    (qacc, u), _ = jax.lax.scan(sweep, (res.qacc, u0), None,
-                                length=iterations)
+    (r, u), _ = jax.lax.scan(sweep, (r0, u0), None, length=iterations)
+    qacc = res.qacc + Minv @ (D_all.T @ (u - u0))
 
     f_dof = u[:n_fric_dof]
     ud = u[n_fric_dof:]

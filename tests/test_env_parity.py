@@ -184,6 +184,12 @@ def test_obs_reward_parity(task):
     rng = np.random.default_rng(7)
 
     state = env.reset(__import__("jax").random.PRNGKey(0))
+    # Align the randomized model fields with the (default) oracle model,
+    # and compare on FRESH kinematics both sides: set_physics_state runs a
+    # fresh forward pass, so the oracle needs mj_forward too (after
+    # mj_step its caches are pre-integration — that stale-cache semantics
+    # is exercised by the trajectory tests, not here).
+    state = state.replace(var=env.base_var())
     worst_obs = worst_r = 0.0
     for t in range(12):
         a = rng.uniform(-1, 1, mm.nu)
@@ -191,6 +197,7 @@ def test_obs_reward_parity(task):
         md.ctrl[:] = ctrl
         for _ in range(env.FRAME_SKIP):
             mujoco.mj_step(mm, md)
+        mujoco.mj_forward(mm, md)
         obs_ref, r_ref, done_ref = _oracle_obs_reward(task, mm, md, mujoco)
 
         # Sync physics state into our env and evaluate the fused kernels.
