@@ -50,26 +50,34 @@ def main():
     env = envs.make("hammer-v0")
     key = jax.random.PRNGKey(0)
     reset = jax.jit(jax.vmap(env.reset))
-    step = jax.jit(jax.vmap(env.step_auto_reset), donate_argnums=(0,))
+    v_step = jax.vmap(env.step_auto_reset)
+
+    # One fused rollout program (the shape real training uses: the whole
+    # rollout lives in a single XLA program — per-call dispatch overhead
+    # through the TPU tunnel would otherwise dominate).
+    def rollout(state, k):
+        def body(carry, _):
+            st, kk = carry
+            kk, ka = jax.random.split(kk)
+            a = jax.random.uniform(ka, (num_envs, env.nu), jnp.float32,
+                                   -1.0, 1.0)
+            st = v_step(st, a)
+            return (st, kk), ()
+        (state, k), _ = jax.lax.scan(body, (state, k), (),
+                                     length=MEASURE_STEPS)
+        return state, k
+
+    rollout_j = jax.jit(rollout, donate_argnums=(0,))
 
     state = reset(jax.random.split(key, num_envs))
     jax.block_until_ready(state.obs)
 
-    def actions(k):
-        return jax.random.uniform(k, (num_envs, env.nu), jnp.float32,
-                                  -1.0, 1.0)
-
     # Warmup (compile).
-    k = key
-    for _ in range(3):
-        k, ka = jax.random.split(k)
-        state = step(state, actions(ka))
+    state, k = rollout_j(state, key)
     jax.block_until_ready(state.obs)
 
     t0 = time.perf_counter()
-    for _ in range(MEASURE_STEPS):
-        k, ka = jax.random.split(k)
-        state = step(state, actions(ka))
+    state, k = rollout_j(state, k)
     jax.block_until_ready(state.obs)
     dt = time.perf_counter() - t0
 

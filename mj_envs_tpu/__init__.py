@@ -5,13 +5,41 @@ SURVEY.md)."""
 import os as _os
 
 
+def _host_fingerprint() -> str:
+    """CPU fingerprint: XLA:CPU AOT executables are ISA- AND
+    tuning-specific (LLVM sets model-dependent tune flags like
+    prefer-no-scatter), and this repo's volume persists across sessions
+    that land on different host machines — sharing one cache dir across
+    them segfaulted on AOT load.  Hash the model name and the full flag
+    set so any CPU change rolls the cache directory."""
+    import hashlib
+    sig = []
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "model name")):
+                    sig.append(line.strip())
+                if len(sig) == 2:
+                    break
+    except OSError:
+        import platform
+        sig.append(platform.processor())
+    return hashlib.md5("|".join(sorted(set(sig))).encode()).hexdigest()[:8]
+
+
 def enable_compilation_cache(path: str | None = None) -> None:
     """Persistent XLA compilation cache (the pipeline programs are large;
     cold compiles run minutes on CPU XLA — cache makes reruns instant)."""
     import jax
+    # Platform tag from the environment (NOT jax.default_backend(), which
+    # would initialize backends at import time): a TPU-plugin process
+    # also compiles host-CPU executables, and those carry different CPU
+    # target features than a pure-CPU process — mixing them in one cache
+    # dir produced SIGILLs during later compiles.
+    backend = _os.environ.get("JAX_PLATFORMS", "").split(",")[0] or "auto"
     cache = path or _os.path.join(
         _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
-        ".jax_cache")
+        ".jax_cache", f"{backend}-{_host_fingerprint()}")
     _os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

@@ -210,6 +210,13 @@ def build(spec: P.MjcfSpec, dtype=np.float64) -> Model:
             pair_list.append((a, b, condim, friction5, margin, gap,
                               solref, solimp, False))
 
+    # Order pairs by geom-type group (stable): the narrowphase driver then
+    # writes each type-group's results into a CONTIGUOUS slot range and
+    # assembles the contact buffer by concatenation — TPU scatters into
+    # interleaved slots dominated collide() cost (48ms -> sub-ms for
+    # box-box at 1024 envs).
+    pair_list.sort(key=lambda p: (geom_type[p[0]], geom_type[p[1]]))
+
     npair = len(pair_list)
     pair_geom1 = np.array([p[0] for p in pair_list], dtype=np.int32)
     pair_geom2 = np.array([p[1] for p in pair_list], dtype=np.int32)
@@ -425,9 +432,16 @@ def build(spec: P.MjcfSpec, dtype=np.float64) -> Model:
 
 
 def _set_invweights(model: Model) -> Model:
-    """Compute dof/body/tendon inverse weights at qpos0 (mj_setConst)."""
-    with jax.default_device(jax.devices("cpu")[0]):
-        return _set_invweights_impl(model)
+    """Compute dof/body/tendon inverse weights at qpos0 (mj_setConst).
+
+    Runs on the DEFAULT device on purpose: creating even one CPU-committed
+    array inside a TPU (axon) process permanently degrades every later
+    TPU dispatch in that process to ~50ms (measured; likely the plugin
+    drops to a synchronous interop mode).  CPU/f64 parity processes set
+    the CPU default device globally, so they still get exact invweights;
+    TPU processes compute them in f32, which only perturbs constraint
+    regularization at ~1e-7 relative."""
+    return _set_invweights_impl(model)
 
 
 def _set_invweights_impl(model: Model) -> Model:

@@ -75,36 +75,61 @@ def narrowphase_all(m: Model, kin: Kin) -> Contact:
     nrm = jnp.zeros((s.ncon_cap, 3), dtype=dtype)
 
     gt = s.geom_type
-    # Group candidate pairs by type pair (static, python-level).
-    groups = {}
-    slot_of_pair = {}
-    # Map pair -> first slot (slots of one pair are contiguous).
-    seen = {}
-    for slot in range(s.ncon_cap):
-        pid = int(s.con_pairid[slot])
-        if pid not in seen:
-            seen[pid] = slot
+    # Group candidate pairs by type pair (static, python-level).  The
+    # builder orders the pair table by type group, so each group's pairs
+    # (and their contact slots) are CONTIGUOUS — results are assembled by
+    # concatenation in slot order.  (Scatters into interleaved slots were
+    # the dominant collide() cost on TPU.)
+    groups = []          # (key, [pids]) in pair order
     for pid in range(s.npair):
         key = (int(gt[s.pair_geom1[pid]]), int(gt[s.pair_geom2[pid]]))
-        groups.setdefault(key, []).append(pid)
+        if groups and groups[-1][0] == key:
+            groups[-1][1].append(pid)
+        else:
+            groups.append((key, [pid]))
 
-    for key, pids in groups.items():
+    # Gather geom poses for ALL pairs at once via one-hot matmuls (TPU
+    # gathers with tiny trailing dims lower poorly; a (P, ngeom) 0/1
+    # matmul rides the MXU) — per-group inputs are then free contiguous
+    # slices.
+    def onehot(idx):
+        e = np.zeros((len(idx), s.ngeom), dtype=np.float32)
+        e[np.arange(len(idx)), idx] = 1.0
+        return jnp.asarray(e, dtype=dtype)
+
+    E1 = onehot(s.pair_geom1)
+    E2 = onehot(s.pair_geom2)
+    xmat_flat = kin.geom_xmat.reshape(s.ngeom, 9)
+    xpos1 = E1 @ kin.geom_xpos            # (npair, 3)
+    xmat1 = (E1 @ xmat_flat).reshape(-1, 3, 3)
+    xpos2 = E2 @ kin.geom_xpos
+    xmat2 = (E2 @ xmat_flat).reshape(-1, 3, 3)
+    # geom_size can be per-env (hammer size variations) — same treatment.
+    size1_all = E1 @ m.geom_size
+    size2_all = E2 @ m.geom_size
+
+    chunks_d, chunks_p, chunks_n = [], [], []
+    start = 0
+    for key, pids in groups:
         fn, maxcon = _FNS[key]
+        P = len(pids)
         pids_np = np.asarray(pids, dtype=np.int32)
         g1 = s.pair_geom1[pids_np]
         g2 = s.pair_geom2[pids_np]
-        out = jax.vmap(fn)(
-            kin.geom_xpos[g1], kin.geom_xmat[g1], m.geom_size[g1],
-            kin.geom_xpos[g2], kin.geom_xmat[g2], m.geom_size[g2],
+        sl = slice(start, start + P)
+        d_g, p_g, n_g = jax.vmap(fn)(
+            xpos1[sl], xmat1[sl], size1_all[sl],
+            xpos2[sl], xmat2[sl], size2_all[sl],
             m.pair_margin[pids_np])
-        d_g, p_g, n_g = out  # (P, maxcon, ...)
-        # Scatter into slots (static indices).
-        slot_idx = np.stack(
-            [np.arange(seen[pid], seen[pid] + maxcon) for pid in pids],
-            axis=0).reshape(-1)
-        dist = dist.at[slot_idx].set(d_g.reshape(-1))
-        pos = pos.at[slot_idx].set(p_g.reshape(-1, 3))
-        nrm = nrm.at[slot_idx].set(n_g.reshape(-1, 3))
+        chunks_d.append(d_g.reshape(-1).astype(dtype))
+        chunks_p.append(p_g.reshape(-1, 3).astype(dtype))
+        chunks_n.append(n_g.reshape(-1, 3).astype(dtype))
+        start += P
+    if chunks_d:
+        dist = jnp.concatenate(chunks_d)
+        pos = jnp.concatenate(chunks_p)
+        nrm = jnp.concatenate(chunks_n)
+        assert dist.shape[0] == s.ncon_cap, (dist.shape, s.ncon_cap)
 
     margin = m.pair_margin[s.con_pairid]
     active = dist < margin

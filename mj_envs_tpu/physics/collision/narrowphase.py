@@ -437,7 +437,7 @@ def capsule_cylinder(p1, m1, s1, p2, m2, s2, margin=0.0):
         return (jnp.where(f_lo < f_hi, lo, m_lo),
                 jnp.where(f_lo < f_hi, m_hi, hi))
 
-    lo, hi = jax.lax.fori_loop(0, 24, gs_body, (lo, hi))
+    lo, hi = jax.lax.fori_loop(0, GS_ITERS, gs_body, (lo, hi))
     t_best = 0.5 * (lo + hi)
     dmin, pt, surf = point_dist(t_best)
     dvec = surf - pt
@@ -542,12 +542,20 @@ def cylinder_cylinder(p1, m1, s1, p2, m2, s2, margin=0.0):
     a2, b2 = p2 - ax2 * h2, p2 + ax2 * h2
     c1, c2, _ = _segment_closest(a1, b1, a2, b2)
     shrink = 0.3 * jnp.minimum(jnp.minimum(r1, h1), jnp.minimum(r2, h2))
+    # Multi-start directions for the support-gap ascent: both axes, the
+    # inter-axis radial, their cross — covers face, side and rim escapes
+    # (the AP seed alone picks the wrong face for rim-into-thin-disc).
+    cr = _safe_unit(jnp.cross(ax1, ax2), rdir)
+    cands = jnp.stack([rdir, -rdir, ax1, -ax1, ax2, -ax2, cr, -cr])
     dist_g, pos_g, n_g = _convex_contact(
         lambda x: _proj_cyl_solid(x, p1, ax1, r1 - shrink, h1 - shrink),
         lambda x: _proj_cyl_solid(x, p2, ax2, r2 - shrink, h2 - shrink),
         0.5 * (c1 + c2), shrink, fallback_n=rdir,
         suppA=lambda d: _supp_cyl(d, p1, ax1, r1, h1),
-        suppB=lambda d: _supp_cyl(d, p2, ax2, r2, h2))
+        suppB=lambda d: _supp_cyl(d, p2, ax2, r2, h2),
+        cand_dirs=cands,
+        suppPA=lambda d, ref: _supp_point_cyl(d, p1, ax1, r1, h1, ref),
+        suppPB=lambda d, ref: _supp_point_cyl(d, p2, ax2, r2, h2, ref))
     dist_g4 = jnp.stack([dist_g, BIG, BIG, BIG])
     pos_g4 = jnp.broadcast_to(pos_g, (4, 3))
     n_g4 = jnp.broadcast_to(n_g, (4, 3))
@@ -650,12 +658,19 @@ def cylinder_box(p1, m1, s1, p2, m2, s2, margin=0.0):
 
     # --- generic: alternating projections between shrunken solids.
     shrink = 0.3 * jnp.minimum(jnp.minimum(r, hl), jnp.min(s2))
+    rel_cb = _safe_unit(p2 - p1, -face_n)
+    cands_cb = jnp.stack([
+        rel_cb, -rel_cb, ax, -ax,
+        m2[:, 0], -m2[:, 0], m2[:, 1], -m2[:, 1], m2[:, 2], -m2[:, 2]])
     dist_g, pos_g, n_g = _convex_contact(
         lambda x: _proj_cyl_solid(x, p1, ax, r - shrink, hl - shrink),
         lambda x: _proj_box_solid(x, p2, m2, s2 - shrink),
         0.5 * (p1 + p2), shrink, fallback_n=-face_n,
         suppA=lambda d: _supp_cyl(d, p1, ax, r, hl),
-        suppB=lambda d: _supp_box(d, p2, m2, s2))
+        suppB=lambda d: _supp_box(d, p2, m2, s2),
+        cand_dirs=cands_cb,
+        suppPA=lambda d, ref: _supp_point_cyl(d, p1, ax, r, hl, ref),
+        suppPB=lambda d, ref: _supp_point_box(d, p2, m2, s2, ref))
     dist_g4 = jnp.stack([dist_g, BIG, BIG, BIG])
     pos_g4 = jnp.broadcast_to(pos_g, (4, 3))
     n_g4 = jnp.broadcast_to(n_g, (4, 3))
@@ -689,8 +704,18 @@ def _proj_box_solid(x, c, m, size):
     return c + m @ jnp.clip(m.T @ (x - c), -size, size)
 
 
-def _convex_contact(projA, projB, x0, shrink, fallback_n, iters=48,
-                    suppA=None, suppB=None):
+# Iteration budgets for the iterative convex paths (module-level so tests
+# and profiling can tune them; values chosen to keep narrowphase parity
+# within the dist-tier tolerances).
+AP_ITERS = 48
+POLISH_ITERS = 24
+GS_ITERS = 24
+
+
+def _convex_contact(projA, projB, x0, shrink, fallback_n, iters=None,
+                    suppA=None, suppB=None, cand_dirs=None,
+                    suppPA=None, suppPB=None):
+    iters = AP_ITERS if iters is None else iters
     """Contact between two convex solids.
 
     Alternating projection on the pre-shrunk solids estimates the contact
@@ -698,7 +723,18 @@ def _convex_contact(projA, projB, x0, shrink, fallback_n, iters=48,
     recovered exactly from the *original* solids' support functions along
     that normal (the support gap equals the true distance at the optimal
     normal, and is second-order accurate in the normal error).  Penetration
-    beyond 2*shrink saturates.  n points from solid A toward solid B."""
+    beyond 2*shrink saturates.  n points from solid A toward solid B.
+
+    Once the solids overlap, the support gap has multiple local maxima
+    over the sphere (e.g. a cylinder rim pressed laterally into a thin
+    disc: the axial escape is a local max ~5x deeper than the true
+    lateral one — exactly the failure that stalled hammer-v0's nail
+    impacts).  `cand_dirs` (K, 3 unit rows) multi-starts the polish: the
+    best of {AP direction} ∪ candidates by support gap seeds the ascent.
+    When that winner decisively beats the AP direction, the returned
+    position switches from the AP midpoint to the support-witness
+    midpoint (`suppPA`/`suppPB`: support POINT maps of the unshrunk
+    solids)."""
     def ap_body(_, xy):
         x, y = xy
         x = projA(y)
@@ -709,6 +745,7 @@ def _convex_contact(projA, projB, x0, shrink, fallback_n, iters=48,
     d = y - x
     ln = jnp.linalg.norm(d)
     n = jnp.where(ln > 1e-10, d / jnp.maximum(ln, 1e-10), fallback_n)
+    gap_ap = None
     if suppA is not None:
         # The signed distance equals max over unit directions of the
         # support gap; polish n by projected gradient ascent (the gradient
@@ -717,6 +754,16 @@ def _convex_contact(projA, projB, x0, shrink, fallback_n, iters=48,
         gap = lambda v: -sppB(-v) - sppA(v)
         gA_fn = jax.grad(sppA)
         gB_fn = jax.grad(lambda v: -spp_neg(sppB, v))
+
+        gap_ap = gap(n)
+        if cand_dirs is not None:
+            gaps_c = jax.vmap(gap)(cand_dirs)          # (K,)
+            k_best = jnp.argmax(gaps_c)
+            cand_better = gaps_c[k_best] > gap_ap
+            n_start = jnp.where(cand_better, cand_dirs[k_best], n)
+            gap_start = jnp.maximum(gaps_c[k_best], gap_ap)
+        else:
+            n_start, gap_start = n, gap_ap
 
         def polish_body(_, st):
             n, n_best, gap_best, step = st
@@ -732,11 +779,22 @@ def _convex_contact(projA, projB, x0, shrink, fallback_n, iters=48,
             step = jnp.where(improved, step, step * 0.5)
             return (n, n_best, gap_best, step)
 
-        st0 = (n, n, gap(n), jnp.asarray(0.25, n.dtype))
-        _, n, dist, _ = jax.lax.fori_loop(0, 24, polish_body, st0)
+        st0 = (n_start, n_start, gap_start,
+               jnp.asarray(0.25, n_start.dtype))
+        _, n, dist, _ = jax.lax.fori_loop(0, POLISH_ITERS, polish_body, st0)
     else:
         dist = ln - 2.0 * shrink
     pos = 0.5 * (x + y) + 0.0 * n
+    if gap_ap is not None and suppPA is not None:
+        # AP converged to a worse direction than the multi-start winner:
+        # its midpoint lies on the wrong face — use the support witnesses,
+        # resolving degenerate support coordinates toward the AP midpoint.
+        aw = suppPA(n, pos)
+        bw = suppPB(-n, aw)
+        aw = suppPA(n, bw)
+        pos_w = 0.5 * (aw + bw)
+        use_w = dist > gap_ap + 1e-7
+        pos = jnp.where(use_w, pos_w, pos)
     return dist, pos, n
 
 
@@ -753,6 +811,40 @@ def _supp_cyl(d, c, axis, r, hl):
 
 def _supp_box(d, c, m, size):
     return jnp.dot(d, c) + jnp.dot(jnp.abs(m.T @ d), size)
+
+
+def _supp_point_cyl(d, c, axis, r, hl, ref):
+    """Support POINT of a solid cylinder along unit direction d.  The
+    support set degenerates to the side line (d ⊥ axis) or a cap disc
+    (d ∥ axis); degenerate coordinates are resolved toward `ref` (the
+    AP midpoint — tangentially near the true contact even when AP chose
+    the wrong face)."""
+    za = jnp.dot(d, axis)
+    perp = d - za * axis
+    pn = jnp.linalg.norm(perp)
+    relr = ref - c
+    zr = jnp.dot(relr, axis)
+    rad_r = relr - zr * axis
+    pdir = jnp.where(pn > 1e-6, perp / jnp.maximum(pn, 1e-12),
+                     _safe_unit(rad_r, _ortho(axis)))
+    zc = jnp.where(jnp.abs(za) > 1e-6, hl * jnp.sign(za),
+                   jnp.clip(zr, -hl, hl))
+    rc = jnp.where(jnp.abs(za) > 0.999999,
+                   jnp.minimum(jnp.linalg.norm(rad_r), r), r)
+    return c + axis * zc + pdir * rc
+
+
+def _supp_point_box(d, c, m, size, ref):
+    dl = m.T @ d
+    rl = m.T @ (ref - c)
+    coord = jnp.where(jnp.abs(dl) > 1e-6, jnp.sign(dl) * size,
+                      jnp.clip(rl, -size, size))
+    return c + m @ coord
+
+
+def _safe_unit(v, fallback):
+    ln = jnp.linalg.norm(v)
+    return jnp.where(ln > 1e-10, v / jnp.maximum(ln, 1e-10), fallback)
 
 
 # ---------------------------------------------------------------------------

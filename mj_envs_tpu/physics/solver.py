@@ -90,9 +90,17 @@ def newton_solve(M: jnp.ndarray, qacc_smooth: jnp.ndarray, rows: Rows,
         grad = M @ (qacc - qacc_smooth) - rows.J.T @ f
         w = jnp.where(quad, rows.D, 0.0)
         H = M + (rows.J.T * w) @ rows.J
-        # Levenberg guard for numerical safety (H is PD in exact math).
-        L = jnp.linalg.cholesky(H + 1e-12 * eye)
+        # Levenberg guard for numerical safety (H is PD in exact math,
+        # but f32 roundoff can push it indefinite in near-singular states
+        # — scale the guard with the diagonal and the dtype epsilon).
+        lm = 10.0 * jnp.finfo(qacc.dtype).eps * jnp.mean(jnp.diag(H))
+        L = jnp.linalg.cholesky(H + lm * eye)
         p = -jax.scipy.linalg.cho_solve((L, True), grad)
+        # If the factorization still failed (NaN), fall back to a plain
+        # diagonally-preconditioned gradient step so one bad state cannot
+        # poison the trajectory with NaNs.
+        p_ok = jnp.all(jnp.isfinite(p))
+        p = jnp.where(p_ok, p, -grad / jnp.maximum(jnp.diag(H), 1e-8))
 
         # Exact linesearch on the piecewise-quadratic phi(alpha).
         Jp = rows.J @ p

@@ -120,3 +120,108 @@ def train_ppo_policy(config, env: AdroitEnv, out_dir: Optional[str] = None):
 
     metrics.save_csv(os.path.join(out_dir, "metrics.csv"))
     return train_state, metrics
+
+
+def train_planet_policy(config, env, out_dir: Optional[str] = None):
+    """PlaNet training (reference `train_policy`, train.py:93-176):
+    seed replay with random-action episodes until >= max(batch, chunk)
+    steps (:112-123), then per episode: `sample_iters` gradient steps on
+    sampled chunks (:23-29) -> one exploration rollout
+    (`collect_experience`, :179-195) -> periodic eval/checkpoint.
+
+    Observations are on-device rendered 64x64 pixels through the
+    reference's quantization chain (bit_depth, config.py:41)."""
+    import jax
+    import jax.numpy as jnp
+    from ..algos import planet as PL
+    from ..algos import replay as RP
+    from ..envs.pixels import PixelObservationEnv
+
+    out_dir = out_dir or (config.log_path or "results")
+    penv = PixelObservationEnv(env)
+    cfg = PL.PlanetConfig(
+        belief_size=config.belief_size, state_size=config.state_size,
+        hidden_size=config.hidden_size,
+        embedding_size=config.embedding_size,
+        action_size=env.nu, free_nats=float(config.free_nats),
+        planning_horizon=config.planning_horizon,
+        optimisation_iters=config.optimisation_iters,
+        candidates=config.candidates,
+        top_candidates=config.top_candidates,
+        lr=config.learning_rate, adam_eps=config.adam_epsilon,
+        grad_clip_norm=float(config.grad_clip_norm))
+    init_fn, update_fn, infer_step, plan = PL.make_planet(cfg)
+
+    key = jax.random.PRNGKey(config.seed)
+    key, ki = jax.random.split(key)
+    params, opt_state = init_fn(ki)
+    mem = RP.ExperienceReplay(
+        config.experience_size, (64, 64, 3), env.nu,
+        bit_depth=config.bit_depth, seed=config.seed)
+
+    update_j = jax.jit(update_fn)
+    infer_j = jax.jit(infer_step)
+    plan_j = jax.jit(plan)
+    reset_j = jax.jit(penv.reset)
+    step_j = jax.jit(penv.step)
+    T = config.max_episode_length // config.action_repeat
+
+    def collect(params, key, explore_noise):
+        """Single-env rollout into the replay (reference
+        collect_experience; exploration noise train.py:189)."""
+        key, kr = jax.random.split(key)
+        ps = reset_j(kr)
+        h = jnp.zeros((1, cfg.belief_size))
+        s = jnp.zeros((1, cfg.state_size))
+        a = jnp.zeros((1, env.nu))
+        total_r = 0.0
+        for t in range(T):
+            key, k1, k2, k3 = jax.random.split(key, 4)
+            from ..render.raster import images_to_observation
+            obs_pl = images_to_observation(ps.pixels, config.bit_depth,
+                                           key=k1)[None]
+            h, s = infer_j(params, k2, h, s, a, obs_pl)
+            a = plan_j(params, k3, h, s)
+            if explore_noise > 0:
+                key, kn = jax.random.split(key)
+                a = jnp.clip(a + explore_noise * jax.random.normal(
+                    kn, a.shape), -1.0, 1.0)
+            ps = step_j(ps, a[0])
+            mem.append(np.asarray(ps.pixels), np.asarray(a[0]),
+                       float(ps.state.reward), bool(ps.state.done))
+            total_r += float(ps.state.reward)
+        return key, total_r
+
+    # Seed episodes (reference :112-123).
+    rng = np.random.default_rng(config.seed)
+    while mem.steps < max(config.batch_size, config.chunk_size) \
+            or mem.episodes < config.seed_episodes:
+        key, kr = jax.random.split(key)
+        ps = reset_j(kr)
+        for t in range(T):
+            a = rng.uniform(-1, 1, env.nu).astype(np.float32)
+            ps = step_j(ps, jnp.asarray(a))
+            mem.append(np.asarray(ps.pixels), a, float(ps.state.reward),
+                       bool(ps.state.done))
+
+    metrics = Metrics()
+    for episode in range(config.seed_episodes + 1,
+                         config.max_episodes + 1):
+        for it in range(config.sample_iters):
+            key, ku = jax.random.split(key)
+            batch = {k: jnp.asarray(v) for k, v in
+                     mem.sample(config.batch_size,
+                                config.chunk_size).items()}
+            params, opt_state, m = update_j(params, opt_state, ku, batch)
+        key, total_r = collect(params, key, config.action_noise)
+        metrics.append(episode=episode, reward=total_r,
+                       **{k: float(v) for k, v in m.items()})
+        if PROF:
+            print(f"planet ep {episode}: reward {total_r:.1f} "
+                  f"obs_loss {float(m['obs_loss']):.1f} "
+                  f"kl {float(m['kl_loss']):.2f}", flush=True)
+        if episode % config.checkpoint_interval == 0:
+            CKPT.save(CKPT.checkpoint_path(out_dir, episode),
+                      {"params": params, "opt_state": opt_state})
+    metrics.save_csv(os.path.join(out_dir, "metrics.csv"))
+    return params, metrics

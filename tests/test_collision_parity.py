@@ -167,3 +167,66 @@ def test_dist_tier_pairs(t1, t2):
                 and np.linalg.norm(best[2] - oc["n"]) < 0.2):
             n_ok += 1
     assert n_ok >= max(1, int(0.8 * len(data))), f"{n_ok}/{len(data)}"
+
+
+# ---------------------------------------------------------------------------
+# Deep-contact regression: hammer-head rim pressed laterally into the thin
+# nail-cap disc (real poses captured from a DAPG expert's nail strike,
+# hammer-v0 t=35).  The support-gap objective has an axial local maximum
+# ~5x deeper than the true lateral escape here; single-start ascent took it
+# and under-drove the nail, stalling the expert just above the success
+# threshold (reference success semantics `hammer_v0.py:167-175`).  Guards
+# the multi-start candidate directions in `_convex_contact`.
+# ---------------------------------------------------------------------------
+
+_NAIL_STRIKE_CASES = [
+    # (p_cap, R_cap(9), p_head, R_head(9), oracle dist, oracle pos, oracle n)
+    (np.array([-0.04209871582241023, -0.03580610834070156, 0.17502861817588966]),
+     np.array([3.6235793645673475e-01, 1.3114075628206656e-06, -9.3203901521615373e-01,
+               -9.3203872040625213e-01, 7.9588062467730869e-04, -3.6235782072077349e-01,
+               7.4131659486731394e-04, 9.9999968328610589e-01, 2.8961594345075503e-04]),
+     np.array([-0.07874243378847695, -0.06115002387020238, 0.14660332162990003]),
+     np.array([0.8264258347704715, -0.2921574036223554, -0.48131527207494074,
+               -0.5515350732228002, -0.2480883660619732, -0.7964051893539,
+               0.11326695294325964, 0.9236320772544363, -0.36616169001904736]),
+     -0.004670639461066734,
+     np.array([-0.04458050452219002, -0.03679369522867415, 0.1532633656752001]),
+     np.array([-9.3203899718973959e-01, -3.6235786710588802e-01, 2.8959284603229877e-04])),
+    (np.array([-0.04007575828231273, -0.0350196235759298, 0.17502798957478288]),
+     np.array([3.6235793645673475e-01, 1.3114075628206656e-06, -9.3203901521615373e-01,
+               -9.3203872040625213e-01, 7.9588062467730869e-04, -3.6235782072077349e-01,
+               7.4131659486731394e-04, 9.9999968328610589e-01, 2.8961594345075503e-04]),
+     np.array([-0.07348746662123523, -0.05911551310610447, 0.14880247939119062]),
+     np.array([0.8197523496622506, -0.29433521799315915, -0.49129712463247555,
+               -0.5620505947492835, -0.2486489158102897, -0.7888427255215983,
+               0.11002369819813965, 0.9227895188586, -0.3692618173051714]),
+     -0.008252413182072545,
+     np.array([-0.04071929619512904, -0.03579144155806618, 0.15539449546411926]),
+     np.array([-9.3203916180416813e-01, -3.6235744577835116e-01, 2.8697103179682333e-04])),
+    (np.array([-0.03394714340037628, -0.0326369427048502, 0.17502608520752777]),
+     np.array([3.6235793645673475e-01, 1.3114075628206656e-06, -9.3203901521615373e-01,
+               -9.3203872040625213e-01, 7.9588062467730869e-04, -3.6235782072077349e-01,
+               7.4131659486731394e-04, 9.9999968328610589e-01, 2.8961594345075503e-04]),
+     np.array([-0.06350261682801564, -0.05572591856367987, 0.15257185345931543]),
+     np.array([0.8072442934474063, -0.29834323684502473, -0.5092621758244282,
+               -0.5808402954318195, -0.24836893749938588, -0.7752015364330122,
+               0.10479123006852245, 0.9215770092153229, -0.3737841812951243]),
+     -0.012415156570488979,
+     np.array([-0.03221593602317201, -0.03377018847965715, 0.1588818763056773]),
+     np.array([-9.3203834544735786e-01, -3.6235954219935074e-01, 2.9119208188323675e-04])),
+]
+
+
+@pytest.mark.parametrize("case", range(len(_NAIL_STRIKE_CASES)))
+def test_cylinder_cylinder_deep_rim_strike(case):
+    import mj_envs_tpu.physics.collision.narrowphase as N
+    p1, m1, p2, m2, dist_o, pos_o, n_o = _NAIL_STRIKE_CASES[case]
+    s1 = np.array([0.035, 0.005, 0.0])   # nail cap disc
+    s2 = np.array([0.02, 0.04, 0.0])     # hammer head
+    d, pos, nrm = N.cylinder_cylinder(p1, m1.reshape(3, 3), s1,
+                                      p2, m2.reshape(3, 3), s2)
+    d, pos, nrm = np.asarray(d), np.asarray(pos), np.asarray(nrm)
+    i = int(np.argmin(d))
+    assert abs(d[i] - dist_o) < 5e-5, (d[i], dist_o)
+    assert np.dot(nrm[i], n_o) > 0.999, (nrm[i], n_o)
+    assert np.linalg.norm(pos[i] - pos_o) < 2e-3, (pos[i], pos_o)

@@ -48,14 +48,24 @@ def _quat2euler_np(quat):
         -np.arctan2(-mat[0, 2], cy), 0.0])
 
 
-def _setup(task):
-    import jax
-    import mujoco
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _env_cached(task):
+    """One env (and thus one set of jitted programs) per task per process
+    — repeated jit-of-identical-program deserializations segfault
+    jaxlib's CPU AOT loader in long suite runs (see test_step_parity)."""
     from mj_envs_tpu import envs
+    return envs.make(f"{task}-v0", dtype=__import__("jax.numpy",
+                                                    fromlist=["x"]).float64)
+
+
+def _setup(task):
+    import mujoco
     from mj_envs_tpu.mjcf import oracle as O
 
-    env = envs.make(f"{task}-v0", dtype=__import__("jax.numpy",
-                                                   fromlist=["x"]).float64)
+    env = _env_cached(task)
     mm = mujoco.MjModel.from_xml_string(O.sanitize(O.task_xml_path(task)))
     md = mujoco.MjData(mm)
 

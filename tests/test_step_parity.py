@@ -34,20 +34,37 @@ TRAJ_QVEL = {"hammer": 2e-3, "door": 1e-9, "pen": 1.5, "relocate": 1e-9}
 RESYNC_QVEL = {"hammer": 1e-3, "door": 1e-9, "pen": 0.5, "relocate": 1e-9}
 
 
-def _setup(task):
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _build_cached(task):
+    """Immutable per-task pieces, cached per process.  One `jax.jit`
+    wrapper per task: each fresh jit of the same program re-deserializes
+    the AOT executable from the persistent cache, and jaxlib's CPU AOT
+    loader segfaults after ~100 such loads in one process (reproduced at
+    tests/test_step_parity.py::test_resynced_single_step in full-suite
+    runs; isolated runs passed)."""
     import jax
-    import jax.numpy as jnp
-    import mujoco
     from mj_envs_tpu.mjcf import oracle as O, builder as B
-    from mj_envs_tpu.physics import pipeline, model as M
+    from mj_envs_tpu.physics import pipeline
 
     xml = O.sanitize(O.task_xml_path(task))
+    m = B.build_from_xml(O.task_xml_path(task))
+    step = jax.jit(pipeline.step)
+    return xml, m, step
+
+
+def _setup(task):
+    import jax.numpy as jnp
+    import mujoco
+    from mj_envs_tpu.physics import model as M
+
+    xml, m, step = _build_cached(task)
     mm = mujoco.MjModel.from_xml_string(xml)
     md = mujoco.MjData(mm)
-    m = B.build_from_xml(O.task_xml_path(task))
     d = M.make_data(m)
     mujoco.mj_forward(mm, md)
-    step = jax.jit(pipeline.step)
     return mm, md, m, d, step, jnp, mujoco
 
 
