@@ -32,7 +32,7 @@ _FNS = {
     (GEOM_CAPSULE, GEOM_BOX): (NP.capsule_box, 2),
     (GEOM_CYLINDER, GEOM_CYLINDER): (NP.cylinder_cylinder, 4),
     (GEOM_CYLINDER, GEOM_BOX): (NP.cylinder_box, 4),
-    (GEOM_BOX, GEOM_BOX): (NP.box_box, 8),
+    (GEOM_BOX, GEOM_BOX): (NP.box_box, 24),
 }
 
 

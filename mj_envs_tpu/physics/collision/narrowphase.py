@@ -26,6 +26,64 @@ import jax.numpy as jnp
 BIG = 1e10
 
 
+def _mm(a, b):
+    """Tiny-matrix matmul via broadcast-multiply-reduce.  Batched
+    `dot_general` on 3x3s fails to lower in Pallas/Mosaic (and gains
+    nothing on the MXU at this size) — this form vectorizes on the VPU
+    under any vmap nesting."""
+    return jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)
+
+
+def _mv(a, v):
+    """Tiny matrix @ vector, same rationale as _mm."""
+    return jnp.sum(a * v[..., None, :], axis=-1)
+
+
+def _iota1(n, dtype=jnp.int32):
+    """1-D iota without materializing a constant array (Pallas kernels
+    reject captured consts; TPU rejects 1-D lax.iota)."""
+    return jax.lax.broadcasted_iota(dtype, (n, 1), 0)[:, 0]
+
+
+def _oh(i, n, dtype):
+    """One-hot vector for a traced index — gather-free dynamic select."""
+    return (_iota1(n) == i).astype(dtype)
+
+
+def _sel(tab, i):
+    """tab[i] along axis 0 for traced scalar i, via one-hot reduction
+    (Mosaic only lowers 2-D gathers)."""
+    oh = _oh(i, tab.shape[0], tab.dtype)
+    return jnp.sum(tab * oh.reshape((tab.shape[0],)
+                                    + (1,) * (tab.ndim - 1)), axis=0)
+
+
+def _basis(k, dtype):
+    """Static standard basis vector e_k without a constant array."""
+    return (_iota1(3) == k).astype(dtype)
+
+
+def _eye3(dtype):
+    return (jax.lax.broadcasted_iota(jnp.int32, (3, 3), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (3, 3), 1)).astype(dtype)
+
+
+def _cross(a, b):
+    """Cross product without jnp.cross (whose take-based implementation
+    becomes a >2-D gather under vmap, unsupported in Pallas/Mosaic)."""
+    ax, ay, az = a[..., 0], a[..., 1], a[..., 2]
+    bx, by, bz = b[..., 0], b[..., 1], b[..., 2]
+    return jnp.stack([ay * bz - az * by,
+                      az * bx - ax * bz,
+                      ax * by - ay * bx], axis=-1)
+
+
+def _vdot(a, b):
+    """Vector dot product; jnp.dot becomes a batched `dot_general`
+    under vmap, which Pallas/Mosaic cannot lower."""
+    return jnp.sum(a * b, axis=-1)
+
+
 def _midpos(p_on_1, p_on_2):
     return 0.5 * (p_on_1 + p_on_2)
 
@@ -33,7 +91,7 @@ def _midpos(p_on_1, p_on_2):
 def _safe_normalize(v, fallback=None, eps=1e-12):
     n = jnp.linalg.norm(v)
     if fallback is None:
-        fallback = jnp.array([0.0, 0.0, 1.0], dtype=v.dtype)
+        fallback = _basis(2, v.dtype)
     return jnp.where(n > eps, v / jnp.maximum(n, eps), fallback), n
 
 
@@ -44,7 +102,7 @@ def _safe_normalize(v, fallback=None, eps=1e-12):
 def plane_sphere(p1, m1, s1, p2, m2, s2, margin=0.0):
     n = m1[:, 2]
     r = s2[0]
-    h = jnp.dot(n, p2 - p1)
+    h = _vdot(n, p2 - p1)
     dist = h - r
     pos = p2 - n * (r + 0.5 * dist)
     return dist[None], pos[None], n[None]
@@ -55,7 +113,7 @@ def plane_capsule(p1, m1, s1, p2, m2, s2, margin=0.0):
     axis = m2[:, 2]
     r, hl = s2[0], s2[1]
     ends = jnp.stack([p2 + axis * hl, p2 - axis * hl])
-    h = ends @ n - jnp.dot(p1, n)
+    h = _mv(ends, n) - _vdot(p1, n)
     dist = h - r
     pos = ends - n[None, :] * (r + 0.5 * dist)[:, None]
     return dist, pos, jnp.stack([n, n])
@@ -72,7 +130,7 @@ def plane_cylinder(p1, m1, s1, p2, m2, s2, margin=0.0):
     r, hl = s2[0], s2[1]
     dtype = p1.dtype
 
-    ca = jnp.dot(n, axis)
+    ca = _vdot(n, axis)
     # Radial direction of steepest descent on the cap rim.
     prj = axis * ca - n
     prjn = jnp.linalg.norm(prj)
@@ -87,7 +145,7 @@ def plane_cylinder(p1, m1, s1, p2, m2, s2, margin=0.0):
     far_cap = 2.0 * p2 - cap
 
     # Orthonormal tangent in the rim plane for the 120deg points.
-    t2v = jnp.cross(axis, rad)
+    t2v = _cross(axis, rad)
 
     c120, s120 = -0.5, jnp.sqrt(jnp.asarray(3.0, dtype=dtype)) / 2.0
     pts = jnp.stack([
@@ -96,7 +154,7 @@ def plane_cylinder(p1, m1, s1, p2, m2, s2, margin=0.0):
         cap + r * (c120 * rad - s120 * t2v),
         far_cap + r * rad,
     ])
-    h = pts @ n - jnp.dot(p1, n)
+    h = _mv(pts, n) - _vdot(p1, n)
     dist = h
     pos = pts - n[None, :] * (0.5 * dist)[:, None]
     nrm = jnp.broadcast_to(n, (4, 3))
@@ -108,11 +166,12 @@ def plane_cylinder(p1, m1, s1, p2, m2, s2, margin=0.0):
 def plane_box(p1, m1, s1, p2, m2, s2, margin=0.0):
     """All 8 corners; driver keeps the (up to) 4 deepest active ones."""
     n = m1[:, 2]
-    signs = jnp.array(
-        [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
-        dtype=p1.dtype)
-    corners = p2[None, :] + (signs * s2[None, :]) @ m2.T
-    dist = corners @ n - jnp.dot(p1, n)
+    bits = jax.lax.broadcasted_iota(jnp.int32, (8, 3), 0)
+    shift = jax.lax.broadcasted_iota(jnp.int32, (8, 3), 1)
+    signs = (2 * ((bits // (4 // (2 ** shift).astype(jnp.int32)
+                            ).astype(jnp.int32)) % 2) - 1).astype(p1.dtype)
+    corners = p2[None, :] + _mm(signs * s2[None, :], m2.T)
+    dist = _mv(corners, n) - _vdot(p1, n)
     pos = corners - n[None, :] * (0.5 * dist)[:, None]
     nrm = jnp.broadcast_to(n, (8, 3))
     return dist, pos, nrm
@@ -132,7 +191,7 @@ def sphere_sphere(p1, m1, s1, p2, m2, s2, margin=0.0):
 
 def _closest_on_segment(a, b, p):
     ab = b - a
-    t = jnp.clip(jnp.dot(p - a, ab) / jnp.maximum(jnp.dot(ab, ab), 1e-15),
+    t = jnp.clip(_vdot(p - a, ab) / jnp.maximum(_vdot(ab, ab), 1e-15),
                  0.0, 1.0)
     return a + t * ab
 
@@ -153,7 +212,7 @@ def _closest_on_cylinder_surface(p, c, axis, r, hl):
     the outward normal there.  For interior points returns the minimal
     push-out face/side point."""
     rel = p - c
-    z = jnp.dot(rel, axis)
+    z = _vdot(rel, axis)
     radial = rel - z * axis
     rn = jnp.linalg.norm(radial)
     rdir = jnp.where(rn > 1e-12, radial / jnp.maximum(rn, 1e-12),
@@ -183,10 +242,9 @@ def _closest_on_cylinder_surface(p, c, axis, r, hl):
 
 def _ortho(v):
     """Any unit vector orthogonal to unit v."""
-    other = jnp.where(jnp.abs(v[0]) < 0.5,
-                      jnp.array([1.0, 0.0, 0.0], dtype=v.dtype),
-                      jnp.array([0.0, 1.0, 0.0], dtype=v.dtype))
-    w = jnp.cross(v, other)
+    other = jnp.where(jnp.abs(v[0]) < 0.5, _basis(0, v.dtype),
+                      _basis(1, v.dtype))
+    w = _cross(v, other)
     return w / jnp.linalg.norm(w)
 
 
@@ -208,15 +266,18 @@ def sphere_cylinder(p1, m1, s1, p2, m2, s2, margin=0.0):
 def _closest_on_box(p, c, m, size):
     """Closest point on solid box surface to p (world), outward normal-ish
     direction handled by caller; also returns whether p is inside."""
-    lp = m.T @ (p - c)
+    lp = _mv(m.T, p - c)
     clamped = jnp.clip(lp, -size, size)
     inside = jnp.all(jnp.abs(lp) <= size)
     # Inside: project to nearest face.
     gap = size - jnp.abs(lp)
     k = jnp.argmin(gap)
-    proj = clamped.at[k].set(jnp.sign(lp[k] + 1e-30) * size[k])
+    ohk = _oh(k, 3, lp.dtype)
+    lpk = _vdot(lp, ohk)
+    szk = _vdot(size, ohk)
+    proj = clamped * (1.0 - ohk) + ohk * jnp.sign(lpk + 1e-30) * szk
     lsurf = jnp.where(inside, proj, clamped)
-    return c + m @ lsurf, inside
+    return c + _mv(m, lsurf), inside
 
 
 def sphere_box(p1, m1, s1, p2, m2, s2, margin=0.0):
@@ -224,7 +285,7 @@ def sphere_box(p1, m1, s1, p2, m2, s2, margin=0.0):
     d = surf - p1
     ln = jnp.linalg.norm(d)
     n_out = jnp.where(ln > 1e-12, d / jnp.maximum(ln, 1e-12),
-                      jnp.array([0.0, 0.0, 1.0], dtype=p1.dtype))
+                      _basis(2, p1.dtype))
     n = jnp.where(inside, -n_out, n_out)
     dist = jnp.where(inside, -ln, ln) - s1[0]
     pos = _midpos(p1 + n * s1[0], surf)
@@ -241,11 +302,11 @@ def _segment_closest(a1, b1, a2, b2):
     d1 = b1 - a1
     d2 = b2 - a2
     r = a1 - a2
-    A = jnp.dot(d1, d1)
-    e = jnp.dot(d2, d2)
-    f = jnp.dot(d2, r)
-    c = jnp.dot(d1, r)
-    b = jnp.dot(d1, d2)
+    A = _vdot(d1, d1)
+    e = _vdot(d2, d2)
+    f = _vdot(d2, r)
+    c = _vdot(d1, r)
+    b = _vdot(d1, d2)
     denom = A * e - b * b
     s = jnp.where(denom > 1e-14, jnp.clip((b * f - c * e) / jnp.maximum(
         denom, 1e-14), 0.0, 1.0), 0.0)
@@ -276,11 +337,11 @@ def capsule_capsule(p1, m1, s1, p2, m2, s2, margin=0.0):
 
     # Parallel second contact: project seg2 onto seg1's line, use the other
     # end of the overlapping interval.
-    t_a2 = jnp.dot(a2 - a1, ax1)
-    t_b2 = jnp.dot(b2 - a1, ax1)
+    t_a2 = _vdot(a2 - a1, ax1)
+    t_b2 = _vdot(b2 - a1, ax1)
     lo = jnp.maximum(0.0, jnp.minimum(t_a2, t_b2))
     hi = jnp.minimum(2.0 * h1, jnp.maximum(t_a2, t_b2))
-    t_first = jnp.dot(c1 - a1, ax1)
+    t_first = _vdot(c1 - a1, ax1)
     # Pick the overlap end farther from the first contact.
     t_other = jnp.where(jnp.abs(t_first - lo) > jnp.abs(t_first - hi),
                         lo, hi)
@@ -306,7 +367,7 @@ def _sphere_point_box(pt_w, r, p2, m2, s2):
     d = surf - pt_w
     ln = jnp.linalg.norm(d)
     n = jnp.where(ln > 1e-12, d / jnp.maximum(ln, 1e-12),
-                  jnp.array([0.0, 0.0, 1.0], dtype=pt_w.dtype))
+                  _basis(2, pt_w.dtype))
     n = jnp.where(inside, -n, n)
     dist = jnp.where(inside, -ln, ln) - r
     pos = _midpos(pt_w + n * r, surf)
@@ -331,12 +392,12 @@ def capsule_box(p1, m1, s1, p2, m2, s2, margin=0.0):
     b = p1 + ax * hl
 
     # Work in box frame.
-    al = m2.T @ (a - p2)
-    bl = m2.T @ (b - p2)
+    al = _mv(m2.T, a - p2)
+    bl = _mv(m2.T, b - p2)
     dl = bl - al
 
     # Supporting face: the dim where the (scaled) center offset is largest.
-    rel_l = m2.T @ (p1 - p2)
+    rel_l = _mv(m2.T, p1 - p2)
     kf = jnp.argmax(jnp.abs(rel_l) / s2)
 
     t_lo = jnp.asarray(0.0, p1.dtype)
@@ -367,15 +428,15 @@ def capsule_box(p1, m1, s1, p2, m2, s2, margin=0.0):
     def fp_body(_, t):
         pt = al + t * dl
         cl = jnp.clip(pt, -s2, s2)
-        return jnp.clip(jnp.dot(cl - al, dl)
-                        / jnp.maximum(jnp.dot(dl, dl), 1e-15), 0.0, 1.0)
+        return jnp.clip(_vdot(cl - al, dl)
+                        / jnp.maximum(_vdot(dl, dl), 1e-15), 0.0, 1.0)
 
     t_fp = jax.lax.fori_loop(0, 12, fp_body,
                              jnp.asarray(0.5, p1.dtype))
     t_a = jnp.where(miss, t_fp, t_a)
 
-    pa_w = p2 + m2 @ (al + t_a * dl)
-    pb_w = p2 + m2 @ (al + t_b * dl)
+    pa_w = p2 + _mv(m2, al + t_a * dl)
+    pb_w = p2 + _mv(m2, al + t_b * dl)
     dist_a, pos_a, n_a = _sphere_point_box(pa_w, r, p2, m2, s2)
     dist_b, pos_b, n_b = _sphere_point_box(pb_w, r, p2, m2, s2)
     dist_b = jnp.where(miss, BIG, dist_b)
@@ -383,7 +444,7 @@ def capsule_box(p1, m1, s1, p2, m2, s2, margin=0.0):
     # When neither clip endpoint reaches the margin (e.g. the segment
     # crosses an edge/corner region with the deep point interior), fall
     # back to the single closest-point contact.
-    pf2_w = p2 + m2 @ (al + t_fp * dl)
+    pf2_w = p2 + _mv(m2, al + t_fp * dl)
     dist_f, pos_f, n_f = _sphere_point_box(pf2_w, r, p2, m2, s2)
     neither = (dist_a >= margin) & (dist_b >= margin)
     use_fb = miss | neither
@@ -421,11 +482,12 @@ def capsule_cylinder(p1, m1, s1, p2, m2, s2, margin=0.0):
 
     # Coarse sample + golden-section refine on the (piecewise-smooth) 1D
     # distance; robust for the task geometries.
-    ts = jnp.linspace(0.0, 1.0, 17, dtype=p1.dtype)
+    ts = _iota1(17).astype(p1.dtype) / 16.0
     dists = jax.vmap(lambda t: point_dist(t)[0])(ts)
     i = jnp.argmin(dists)
-    lo = jnp.clip(ts[i] - 1.0 / 16.0, 0.0, 1.0)
-    hi = jnp.clip(ts[i] + 1.0 / 16.0, 0.0, 1.0)
+    t_i = _vdot(ts, _oh(i, 17, ts.dtype))
+    lo = jnp.clip(t_i - 1.0 / 16.0, 0.0, 1.0)
+    hi = jnp.clip(t_i + 1.0 / 16.0, 0.0, 1.0)
     gr = 0.618033988749895
 
     def gs_body(_, lh):
@@ -449,7 +511,7 @@ def capsule_cylinder(p1, m1, s1, p2, m2, s2, margin=0.0):
     pos_a = _midpos(pt + n * r1, surf)
 
     # Parallel (capsule lying along cylinder side or across the cap).
-    parallel = jnp.abs(jnp.dot(ax1, ax2)) > 0.999
+    parallel = jnp.abs(_vdot(ax1, ax2)) > 0.999
     t_other = jnp.where(t_best < 0.5, 1.0, 0.0)
     d2, pt2, surf2 = point_dist(t_other)
     d2vec = surf2 - pt2
@@ -482,11 +544,11 @@ def cylinder_cylinder(p1, m1, s1, p2, m2, s2, margin=0.0):
     ax2 = m2[:, 2]
     dtype = p1.dtype
 
-    ca = jnp.dot(ax1, ax2)
+    ca = _vdot(ax1, ax2)
     parallel = jnp.abs(ca) > 0.999
 
     rel = p2 - p1
-    z = jnp.dot(rel, ax1)                       # axial offset
+    z = _vdot(rel, ax1)                       # axial offset
     radial = rel - z * ax1
     rn = jnp.linalg.norm(radial)
     rdir = jnp.where(rn > 1e-12, radial / jnp.maximum(rn, 1e-12),
@@ -503,7 +565,7 @@ def cylinder_cylinder(p1, m1, s1, p2, m2, s2, margin=0.0):
     n_cc = ax1 * sgn                             # from geom1 toward geom2
     ring_r = jnp.minimum(r1, r2)
     t1v = _ortho(ax1)
-    t2v = jnp.cross(ax1, t1v)
+    t2v = _cross(ax1, t1v)
     center = cap1 + n_cc * 0.5 * axial_gap
     # ring center offset toward the smaller cylinder's axis
     ring_c = jnp.where(r1 < r2, p1 + n_cc * (h1 + 0.5 * axial_gap),
@@ -515,8 +577,7 @@ def cylinder_cylinder(p1, m1, s1, p2, m2, s2, margin=0.0):
         ring_c + ring_r * (c120 * t1v - s120 * t2v),
         ring_c,
     ])
-    dist_cc = jnp.full((4,), BIG, dtype=dtype).at[:].set(
-        jnp.where(jnp.arange(4) < 4, axial_gap, BIG))
+    dist_cc = jnp.broadcast_to(axial_gap, (4,))
     pos_cc = ring_pts
     n_cc4 = jnp.broadcast_to(n_cc, (4, 3))
 
@@ -545,7 +606,7 @@ def cylinder_cylinder(p1, m1, s1, p2, m2, s2, margin=0.0):
     # Multi-start directions for the support-gap ascent: both axes, the
     # inter-axis radial, their cross — covers face, side and rim escapes
     # (the AP seed alone picks the wrong face for rim-into-thin-disc).
-    cr = _safe_unit(jnp.cross(ax1, ax2), rdir)
+    cr = _safe_unit(_cross(ax1, ax2), rdir)
     cands = jnp.stack([rdir, -rdir, ax1, -ax1, ax2, -ax2, cr, -cr])
     dist_g, pos_g, n_g = _convex_contact(
         lambda x: _proj_cyl_solid(x, p1, ax1, r1 - shrink, h1 - shrink),
@@ -583,13 +644,14 @@ def cylinder_box(p1, m1, s1, p2, m2, s2, margin=0.0):
 
     # Find the box face whose outward normal is most opposed to the
     # cylinder center direction (candidate supporting face).
-    rel_l = m2.T @ (p1 - p2)
+    rel_l = _mv(m2.T, p1 - p2)
     k = jnp.argmax(jnp.abs(rel_l) / s2)
-    sgn = jnp.sign(rel_l[k] + 1e-30)
-    face_n = m2 @ (jnp.eye(3, dtype=dtype)[k] * sgn)      # outward
-    face_c = p2 + face_n * s2[k]
+    ohk = _oh(k, 3, dtype)
+    sgn = jnp.sign(_vdot(rel_l, ohk) + 1e-30)
+    face_n = _mv(m2, ohk * sgn)                           # outward
+    face_c = p2 + face_n * _vdot(s2, ohk)
 
-    ca = jnp.dot(face_n, ax)
+    ca = _vdot(face_n, ax)
     standing = jnp.abs(ca) > 0.999
     lying = jnp.abs(ca) < 1e-3
 
@@ -599,19 +661,19 @@ def cylinder_box(p1, m1, s1, p2, m2, s2, margin=0.0):
     # coords within bounds inflated by r) — otherwise the infinite face
     # plane would report phantom penetration for cylinders standing
     # *beside* the box.
-    in_face = jnp.arange(3) != k
+    in_face = _iota1(3) != k
     stand_valid = jnp.all(
         jnp.where(in_face, jnp.abs(rel_l) <= s2 + r, True))
     dists_pc, pos_pc, _ = plane_cylinder(face_c, _frame_from_z(face_n),
                                          s2, p1, m1, s1)
     # Clamp positions into the face bounds (in box frame).
-    pos_l = jax.vmap(lambda q: m2.T @ (q - p2))(pos_pc)
+    pos_l = jax.vmap(lambda q: _mv(m2.T, q - p2))(pos_pc)
     pos_l_cl = jnp.stack([
-        jnp.where(jnp.arange(3) == k, pos_l[i],
+        jnp.where(_iota1(3) == k, pos_l[i],
                   jnp.clip(pos_l[i], -s2, s2))
         for i in range(4)
     ])
-    pos_cf = jax.vmap(lambda q: p2 + m2 @ q)(pos_l_cl)
+    pos_cf = jax.vmap(lambda q: p2 + _mv(m2, q))(pos_l_cl)
     n_cf = jnp.broadcast_to(-face_n, (4, 3))  # from cylinder toward box
 
     # --- lying: 2-point line contact against the face.  The axis segment
@@ -623,8 +685,8 @@ def cylinder_box(p1, m1, s1, p2, m2, s2, margin=0.0):
     # the shared deepest distance is used for both points.
     a = p1 - ax * hl
     b = p1 + ax * hl
-    al = m2.T @ (a - p2)
-    bl = m2.T @ (b - p2)
+    al = _mv(m2.T, a - p2)
+    bl = _mv(m2.T, b - p2)
     dl2 = bl - al
     t_lo = jnp.asarray(0.0, dtype)
     t_hi = jnp.asarray(1.0, dtype)
@@ -645,8 +707,8 @@ def cylinder_box(p1, m1, s1, p2, m2, s2, margin=0.0):
     ly_ok = ly_ok & (t_lo <= t_hi)
     pa = a + t_lo * (b - a)
     pb = b + (t_hi - 1.0) * (b - a)
-    da = jnp.dot(pa - face_c, face_n) - r
-    db = jnp.dot(pb - face_c, face_n) - r
+    da = _vdot(pa - face_c, face_n) - r
+    db = _vdot(pb - face_c, face_n) - r
     d_shared = jnp.minimum(da, db)
     pa = pa - face_n * (r + 0.5 * d_shared)
     pb = pb - face_n * (r + 0.5 * d_shared)
@@ -686,14 +748,14 @@ def cylinder_box(p1, m1, s1, p2, m2, s2, margin=0.0):
 
 def _frame_from_z(z):
     x = _ortho(z)
-    y = jnp.cross(z, x)
+    y = _cross(z, x)
     return jnp.stack([x, y, z], axis=1)
 
 
 def _proj_cyl_solid(x, c, axis, r, hl):
     """Euclidean projection of x onto the solid cylinder (c, axis, r, hl)."""
     rel = x - c
-    z = jnp.dot(rel, axis)
+    z = _vdot(rel, axis)
     rad = rel - z * axis
     rn = jnp.linalg.norm(rad)
     rdir = jnp.where(rn > 1e-12, rad / jnp.maximum(rn, 1e-12), _ortho(axis))
@@ -701,7 +763,7 @@ def _proj_cyl_solid(x, c, axis, r, hl):
 
 
 def _proj_box_solid(x, c, m, size):
-    return c + m @ jnp.clip(m.T @ (x - c), -size, size)
+    return c + _mv(m, jnp.clip(_mv(m.T, x - c), -size, size))
 
 
 # Iteration budgets for the iterative convex paths (module-level so tests
@@ -758,17 +820,18 @@ def _convex_contact(projA, projB, x0, shrink, fallback_n, iters=None,
         gap_ap = gap(n)
         if cand_dirs is not None:
             gaps_c = jax.vmap(gap)(cand_dirs)          # (K,)
-            k_best = jnp.argmax(gaps_c)
-            cand_better = gaps_c[k_best] > gap_ap
-            n_start = jnp.where(cand_better, cand_dirs[k_best], n)
-            gap_start = jnp.maximum(gaps_c[k_best], gap_ap)
+            g_best = jnp.max(gaps_c)
+            n_cand = _sel(cand_dirs, jnp.argmax(gaps_c))
+            cand_better = g_best > gap_ap
+            n_start = jnp.where(cand_better, n_cand, n)
+            gap_start = jnp.maximum(g_best, gap_ap)
         else:
             n_start, gap_start = n, gap_ap
 
         def polish_body(_, st):
             n, n_best, gap_best, step = st
             grad = gB_fn(n) - gA_fn(n)
-            tang = grad - jnp.dot(grad, n) * n
+            tang = grad - _vdot(grad, n) * n
             n_try = n + step * tang
             n_try = n_try / jnp.maximum(jnp.linalg.norm(n_try), 1e-12)
             g_try = gap(n_try)
@@ -804,13 +867,13 @@ def spp_neg(supp, v):
 
 def _supp_cyl(d, c, axis, r, hl):
     """Support value of a solid cylinder along unit direction d."""
-    za = jnp.dot(d, axis)
+    za = _vdot(d, axis)
     perp = jnp.linalg.norm(d - za * axis)
-    return jnp.dot(d, c) + hl * jnp.abs(za) + r * perp
+    return _vdot(d, c) + hl * jnp.abs(za) + r * perp
 
 
 def _supp_box(d, c, m, size):
-    return jnp.dot(d, c) + jnp.dot(jnp.abs(m.T @ d), size)
+    return _vdot(d, c) + _vdot(jnp.abs(_mv(m.T, d)), size)
 
 
 def _supp_point_cyl(d, c, axis, r, hl, ref):
@@ -819,11 +882,11 @@ def _supp_point_cyl(d, c, axis, r, hl, ref):
     (d ∥ axis); degenerate coordinates are resolved toward `ref` (the
     AP midpoint — tangentially near the true contact even when AP chose
     the wrong face)."""
-    za = jnp.dot(d, axis)
+    za = _vdot(d, axis)
     perp = d - za * axis
     pn = jnp.linalg.norm(perp)
     relr = ref - c
-    zr = jnp.dot(relr, axis)
+    zr = _vdot(relr, axis)
     rad_r = relr - zr * axis
     pdir = jnp.where(pn > 1e-6, perp / jnp.maximum(pn, 1e-12),
                      _safe_unit(rad_r, _ortho(axis)))
@@ -835,11 +898,11 @@ def _supp_point_cyl(d, c, axis, r, hl, ref):
 
 
 def _supp_point_box(d, c, m, size, ref):
-    dl = m.T @ d
-    rl = m.T @ (ref - c)
+    dl = _mv(m.T, d)
+    rl = _mv(m.T, ref - c)
     coord = jnp.where(jnp.abs(dl) > 1e-6, jnp.sign(dl) * size,
                       jnp.clip(rl, -size, size))
-    return c + m @ coord
+    return c + _mv(m, coord)
 
 
 def _safe_unit(v, fallback):
@@ -851,70 +914,27 @@ def _safe_unit(v, fallback):
 # box-box (SAT + reference-face clipping, mjc_BoxBox/dBoxBox family)
 # ---------------------------------------------------------------------------
 
-def _clip_polygon_axis(pts, count, axis, bound):
-    """Sutherland-Hodgman clip of a convex polygon (fixed 8-slot buffer,
-    first `count` valid) against |pts[:, axis]| <= bound.  Returns new
-    (pts, count)."""
-    dtype = pts.dtype
-
-    def clip_side(pts, count, sign):
-        out_pts = []
-        out_val = []
-        idx8 = jnp.arange(8)
-        inside = sign * pts[:, axis] <= bound
-        for i in range(8):
-            j = jnp.where(i + 1 >= count, 0, i + 1)
-            Pi = pts[i]
-            Pj = pts[j]
-            edge_valid = i < count
-            in_i = inside[i]
-            in_j = inside[j]
-            denom = Pj[axis] - Pi[axis]
-            t = (sign * bound - Pi[axis]) / jnp.where(
-                jnp.abs(denom) > 1e-13, denom, 1.0)
-            inter = Pi + jnp.clip(t, 0.0, 1.0) * (Pj - Pi)
-            out_pts.append(Pi)
-            out_val.append(edge_valid & in_i)
-            out_pts.append(inter)
-            out_val.append(edge_valid & (in_i ^ in_j)
-                           & (jnp.abs(denom) > 1e-13))
-        pts16 = jnp.stack(out_pts)
-        val16 = jnp.stack(out_val)
-        # Gather-based compaction (stable order): scatter compaction is
-        # extremely slow on TPU (serialized dynamic-update-slices); an
-        # argsort over (invalid-last, original index) keeps ring order
-        # and lowers to a fully vectorized sorting network.
-        order = jnp.argsort(jnp.where(val16, 0, 1) * 16
-                            + jnp.arange(16))
-        new_pts = pts16[order[:8]]
-        new_count = jnp.minimum(jnp.sum(val16), 8)
-        return new_pts, new_count
-
-    pts, count = clip_side(pts, count, 1.0)
-    pts, count = clip_side(pts, count, -1.0)
-    return pts, count
-
-
 def _box_face_manifold(p_ref, R_ref, s_ref, p_inc, R_inc, s_inc, n_world):
-    """Clip the incident box face against the reference face side planes.
-    `n_world` points from the reference box toward the incident box.
-    Returns (dist(8,), pos(8,3)) with BIG-dist padding."""
+    """Contact manifold of the incident box face against the reference
+    face rectangle.  `n_world` points from the reference box toward the
+    incident box.  Returns (dist(24,), pos(24,3)) with BIG-dist padding
+    (24 = all intersection-polygon candidates, unselected)."""
     dtype = p_ref.dtype
-    eye = jnp.eye(3, dtype=dtype)
 
-    nl_ref = R_ref.T @ n_world
+    nl_ref = _mv(R_ref.T, n_world)
     kref = jnp.argmax(jnp.abs(nl_ref))
-    sref = jnp.sign(nl_ref[kref] + 1e-30)
-    nl_inc = R_inc.T @ n_world
+    oh_kref = _oh(kref, 3, dtype)
+    sref = jnp.sign(_vdot(nl_ref, oh_kref) + 1e-30)
+    nl_inc = _mv(R_inc.T, n_world)
     kinc = jnp.argmax(jnp.abs(nl_inc))
-    sinc = -jnp.sign(nl_inc[kinc] + 1e-30)
+    sinc = -jnp.sign(_vdot(nl_inc, _oh(kinc, 3, dtype)) + 1e-30)
 
-    e_kinc = eye[kinc]
-    e_uinc = eye[(kinc + 1) % 3]
-    e_vinc = eye[(kinc + 2) % 3]
-    sz_k = s_inc[kinc]
-    sz_u = s_inc[(kinc + 1) % 3]
-    sz_v = s_inc[(kinc + 2) % 3]
+    e_kinc = _oh(kinc, 3, dtype)
+    e_uinc = _oh((kinc + 1) % 3, 3, dtype)
+    e_vinc = _oh((kinc + 2) % 3, 3, dtype)
+    sz_k = _vdot(s_inc, e_kinc)
+    sz_u = _vdot(s_inc, e_uinc)
+    sz_v = _vdot(s_inc, e_vinc)
     corners_l = jnp.stack([
         e_kinc * sz_k * sinc + e_uinc * sz_u * su + e_vinc * sz_v * sv
         for su in (-1.0, 1.0) for sv in (1.0, -1.0)
@@ -925,34 +945,111 @@ def _box_face_manifold(p_ref, R_ref, s_ref, p_inc, R_inc, s_inc, n_world):
         e_kinc * sz_k * sinc + e_uinc * sz_u - e_vinc * sz_v,
         e_kinc * sz_k * sinc - e_uinc * sz_u - e_vinc * sz_v,
     ])
-    corners_w = p_inc[None, :] + corners_l @ R_inc.T
+    corners_w = p_inc[None, :] + _mm(corners_l, R_inc.T)
 
-    u_ax = (kref + 1) % 3
-    v_ax = (kref + 2) % 3
-    r_u = eye[u_ax]
-    r_v = eye[v_ax]
-    r_k = eye[kref]
-    su_ref = s_ref[u_ax]
-    sv_ref = s_ref[v_ax]
-    sk_ref = s_ref[kref]
+    r_u = _oh((kref + 1) % 3, 3, dtype)
+    r_v = _oh((kref + 2) % 3, 3, dtype)
+    r_k = oh_kref
+    su_ref = _vdot(s_ref, r_u)
+    sv_ref = _vdot(s_ref, r_v)
+    sk_ref = _vdot(s_ref, r_k)
 
     def to_ref(q):
-        lq = R_ref.T @ (q - p_ref)
-        return jnp.stack([jnp.dot(lq, r_u), jnp.dot(lq, r_v),
-                          jnp.dot(lq, r_k)])
+        lq = _mv(R_ref.T, q - p_ref)
+        return jnp.stack([_vdot(lq, r_u), _vdot(lq, r_v),
+                          _vdot(lq, r_k)])
 
     poly4 = jax.vmap(to_ref)(corners_w)
-    pts = jnp.concatenate([poly4, jnp.zeros((4, 3), dtype=dtype)], axis=0)
-    count = jnp.asarray(4, dtype=jnp.int32)
-    pts, count = _clip_polygon_axis(pts, count, 0, su_ref)
-    pts, count = _clip_polygon_axis(pts, count, 1, sv_ref)
 
-    valid = jnp.arange(8) < count
-    depth = pts[:, 2] * sref - sk_ref  # signed distance to the ref face
+    # Rect-vs-quad intersection polygon, branchless (the Sutherland-
+    # Hodgman chain with argsort compactions was 43 ms for 20 pairs at
+    # 1024 envs — ~2/3 of the whole collide stage; sequential op-chain
+    # overhead, not FLOPs).  The intersection polygon's <= 8 vertices are
+    # exactly: incident corners inside the rect, incident edge x clip-
+    # line crossings, and rect corners inside the incident quad — 24
+    # candidates evaluated in parallel, one top_k picks the valid ones.
+    q = poly4                            # (4, 3) ring order, z linear
+    quv = q[:, :2]
+    e1, e2 = q[1] - q[0], q[3] - q[0]
+    det_p = e1[0] * e2[1] - e1[1] * e2[0]
+    det_s = jnp.where(jnp.abs(det_p) > 1e-12, det_p, 1.0)
+    az = (e1[2] * e2[1] - e2[2] * e1[1]) / det_s
+    bz = (e2[2] * e1[0] - e1[2] * e2[0]) / det_s
+    plane_ok = jnp.abs(det_p) > 1e-12
+
+    def z_of(uv):                        # incident-face plane height
+        return jnp.where(plane_ok,
+                         q[0, 2] + az * (uv[..., 0] - q[0, 0])
+                         + bz * (uv[..., 1] - q[0, 1]),
+                         q[0, 2])
+
+    # (No jnp.array literals below: constant arrays close over Pallas
+    # kernels as captured consts, which pallas_call rejects — everything
+    # is built from traced values, rolls and static slices.)
+    bounds = jnp.stack([su_ref, sv_ref])
+    # 1) incident corners inside the rect (4)
+    c_in = jnp.all(jnp.abs(quv) <= bounds[None, :] + 1e-12, axis=1)
+    # 2) edge x clip-line crossings, u-lines and v-lines via static slices
+    qi = quv                              # (4, 2)
+    qj = jnp.roll(quv, -1, axis=0)
+    d_e = qj - qi                         # (4, 2)
+
+    def crossings(cidx, bound_c, bound_o):
+        """Edge crossings with the two lines coord[cidx] = +-bound_c."""
+        oidx = 1 - cidx
+        den = d_e[:, cidx:cidx + 1]                     # (4, 1)
+        den_s = jnp.where(jnp.abs(den) > 1e-13, den, 1.0)
+        line_b = jnp.stack([bound_c, -bound_c])[None, :]  # (1, 2)
+        t = (line_b - qi[:, cidx:cidx + 1]) / den_s       # (4, 2)
+        pt = qi[:, None, :] + t[:, :, None] * d_e[:, None, :]  # (4,2,2)
+        pt_other = pt[:, :, oidx:oidx + 1][:, :, 0]
+        ok = ((jnp.abs(den) > 1e-13) & (t >= 0.0) & (t <= 1.0)
+              & (jnp.abs(pt_other) <= bound_o + 1e-12))
+        # Return (4,2)-shaped halves: Mosaic cannot reshape (4,2,2)->(8,2).
+        return (pt[:, 0:1, :][:, 0, :], pt[:, 1:2, :][:, 0, :],
+                ok[:, 0:1][:, 0], ok[:, 1:2][:, 0])
+
+    pt_u1, pt_u2, ok_u1, ok_u2 = crossings(0, su_ref, sv_ref)
+    pt_v1, pt_v2, ok_v1, ok_v2 = crossings(1, sv_ref, su_ref)
+    # 3) rect corners inside the incident quad (4)
+    pu, pv = su_ref, sv_ref
+    rc = jnp.stack([jnp.stack([pu, pv]), jnp.stack([pu, -pv]),
+                    jnp.stack([-pu, pv]), jnp.stack([-pu, -pv])])
+    wind = jnp.sign(det_p + 1e-30)
+    rel = rc[None, :, :] - qi[:, None, :]          # (edge, corner, 2)
+    rel_u = rel[:, :, 0:1][:, :, 0]
+    rel_v = rel[:, :, 1:2][:, :, 0]
+    de_u = d_e[:, 0:1]
+    de_v = d_e[:, 1:2]
+    crz = de_u * rel_v - de_v * rel_u
+    r_in = jnp.all(crz * wind >= -1e-12, axis=0) & plane_ok
+
+    # All 24 candidates are emitted as contact slots (invalid ones at
+    # +BIG); a top_k compaction here would need >2-D gathers, which
+    # Pallas/Mosaic cannot lower, and extra masked slots are nearly free
+    # downstream.
+    uv24 = jnp.concatenate([quv, pt_u1, pt_u2, pt_v1, pt_v2, rc], axis=0)
+    # Concatenate validity as floats: Mosaic cannot concat i1 vregs.
+    val24 = jnp.concatenate(
+        [c_in.astype(dtype), ok_u1.astype(dtype), ok_u2.astype(dtype),
+         ok_v1.astype(dtype), ok_v2.astype(dtype), r_in.astype(dtype)],
+        axis=0) > 0.5
+    z24 = z_of(uv24)
+    pts = jnp.concatenate([uv24, z24[:, None]], axis=1)
+    valid = val24
+    depth = z24 * sref - sk_ref
+    # Coincident candidates (a polygon vertex exactly on a clip line
+    # appears in two candidate classes) would double a contact row.
+    same = (jnp.sum((uv24[:, None, :] - uv24[None, :, :]) ** 2, axis=-1)
+            < 1e-18)
+    iN = jax.lax.broadcasted_iota(jnp.int32, (24, 24), 0)
+    jN = jax.lax.broadcasted_iota(jnp.int32, (24, 24), 1)
+    dup = jnp.any(same & (jN < iN) & valid[None, :], axis=1)
+    valid = valid & ~dup
 
     def to_world(q):
         lq = r_u * q[0] + r_v * q[1] + r_k * q[2]
-        return p_ref + R_ref @ lq
+        return p_ref + _mv(R_ref, lq)
 
     pts_w = jax.vmap(to_world)(pts)
     pos = pts_w - 0.5 * depth[:, None] * n_world[None, :]
@@ -962,45 +1059,56 @@ def _box_face_manifold(p_ref, R_ref, s_ref, p_inc, R_inc, s_inc, n_world):
 
 def box_box(p1, m1, s1, p2, m2, s2, margin=0.0):
     """Box-box via separating axes (6 faces + 9 edge pairs); face contacts
-    produce a clipped manifold (up to 8 points), edge contacts one point."""
+    produce a rect-quad intersection manifold (24 candidate slots, at
+    most 8 valid), edge contacts one point."""
     dtype = p1.dtype
     R1, R2 = m1, m2
-    C = R1.T @ R2                      # box2 axes in box1 frame
-    pl = R1.T @ (p2 - p1)
-    eye = jnp.eye(3, dtype=dtype)
+    C = _mm(R1.T, R2)                  # box2 axes in box1 frame
+    pl = _mv(R1.T, p2 - p1)
+    eye = _eye3(dtype)
 
-    seps = []
-    normals_l = []                     # box1 frame, pointing box1 -> box2
+    # Running-max SAT over the 15 axes (no (15,3) stack: wide
+    # concatenates fail to lower in Mosaic, and argmax+select is more
+    # work than a fused running reduction anyway).  Ties keep the first
+    # axis, matching argmax semantics.
+    best_sep = jnp.asarray(-BIG, dtype)
+    best_nl = _basis(2, dtype)
+    best_i = jnp.asarray(0, jnp.int32)
+
+    def consider(idx, sep, nl, st):
+        b_sep, b_nl, b_i = st
+        better = sep > b_sep
+        return (jnp.where(better, sep, b_sep),
+                jnp.where(better, nl, b_nl),
+                jnp.where(better, jnp.asarray(idx, jnp.int32), b_i))
+
+    st = (best_sep, best_nl, best_i)
     for k in range(3):                 # box1 faces
-        rb = jnp.dot(jnp.abs(C[k, :]), s2)
+        rb = _vdot(jnp.abs(C[k, :]), s2)
         sep = jnp.abs(pl[k]) - s1[k] - rb
-        seps.append(sep)
-        normals_l.append(eye[k] * jnp.sign(pl[k] + 1e-30))
+        st = consider(k, sep, eye[k] * jnp.sign(pl[k] + 1e-30), st)
     for k in range(3):                 # box2 faces
         axis_l = C[:, k]
-        proj = jnp.dot(pl, axis_l)
-        ra = jnp.dot(jnp.abs(axis_l), s1)
+        proj = _vdot(pl, axis_l)
+        ra = _vdot(jnp.abs(axis_l), s1)
         sep = jnp.abs(proj) - ra - s2[k]
-        seps.append(sep)
-        normals_l.append(axis_l * jnp.sign(proj + 1e-30))
+        st = consider(3 + k, sep, axis_l * jnp.sign(proj + 1e-30), st)
     for i in range(3):                 # edge-edge
         for jj in range(3):
-            axis = jnp.cross(eye[i], C[:, jj])
+            axis = _cross(eye[i], C[:, jj])
             nlen = jnp.linalg.norm(axis)
             axis_n = axis / jnp.maximum(nlen, 1e-12)
-            proj = jnp.dot(pl, axis_n)
-            ra = jnp.dot(jnp.abs(axis_n), s1)
-            rb = jnp.dot(jnp.abs(axis_n @ C), s2)
+            proj = _vdot(pl, axis_n)
+            ra = _vdot(jnp.abs(axis_n), s1)
+            rb = _vdot(jnp.abs(_mv(C.T, axis_n)), s2)
             sep = jnp.abs(proj) - ra - rb
             # ODE-style fudge: prefer face axes; kill degenerate axes.
             sep = jnp.where(nlen > 1e-9, sep - 1e-9, -BIG)
-            seps.append(sep)
-            normals_l.append(axis_n * jnp.sign(proj + 1e-30))
+            st = consider(6 + 3 * i + jj, sep,
+                          axis_n * jnp.sign(proj + 1e-30), st)
 
-    seps = jnp.stack(seps)
-    normals_l = jnp.stack(normals_l)
-    best = jnp.argmax(seps)
-    n_w = R1 @ normals_l[best]         # from box1 toward box2
+    sep_best, nl_best, best = st
+    n_w = _mv(R1, nl_best)             # from box1 toward box2
 
     use_f1 = best < 3
     use_f2 = (best >= 3) & (best < 6)
@@ -1015,24 +1123,27 @@ def box_box(p1, m1, s1, p2, m2, s2, margin=0.0):
     ei = best - 6
     i_idx = jnp.clip(ei // 3, 0, 2)
     j_idx = jnp.clip(ei % 3, 0, 2)
-    dir1_l = eye[i_idx]
-    dir2_l = C[:, j_idx]
-    corner1_l = jnp.sign(R1.T @ n_w + 1e-30) * s1
-    corner1_l = corner1_l * (1.0 - eye[i_idx])  # zero the edge axis
-    corner2_l = jnp.sign(R2.T @ (-n_w) + 1e-30) * s2
-    corner2_l = corner2_l * (1.0 - eye[j_idx])
-    a1 = p1 + R1 @ (corner1_l - dir1_l * s1[i_idx])
-    b1 = p1 + R1 @ (corner1_l + dir1_l * s1[i_idx])
-    a2 = p2 + R2 @ (corner2_l * 1.0) - R1 @ (dir2_l * s2[j_idx])
-    a2 = p2 + R2 @ corner2_l - R1 @ dir2_l * s2[j_idx]
-    b2 = p2 + R2 @ corner2_l + R1 @ dir2_l * s2[j_idx]
+    oh_i = _oh(i_idx, 3, dtype)
+    oh_j = _oh(j_idx, 3, dtype)
+    dir1_l = oh_i
+    dir2_l = _mv(C, oh_j)                       # column j of C
+    s1_i = _vdot(s1, oh_i)
+    s2_j = _vdot(s2, oh_j)
+    corner1_l = jnp.sign(_mv(R1.T, n_w) + 1e-30) * s1
+    corner1_l = corner1_l * (1.0 - oh_i)        # zero the edge axis
+    corner2_l = jnp.sign(_mv(R2.T, -n_w) + 1e-30) * s2
+    corner2_l = corner2_l * (1.0 - oh_j)
+    a1 = p1 + _mv(R1, corner1_l - dir1_l * s1_i)
+    b1 = p1 + _mv(R1, corner1_l + dir1_l * s1_i)
+    a2 = p2 + _mv(R2, corner2_l) - _mv(R1, dir2_l * s2_j)
+    b2 = p2 + _mv(R2, corner2_l) + _mv(R1, dir2_l * s2_j)
     c1e, c2e, _ = _segment_closest(a1, b1, a2, b2)
     pos_e = 0.5 * (c1e + c2e)
-    d_e = jnp.concatenate([seps[best][None],
-                           jnp.full((7,), BIG, dtype=dtype)])
-    p_e = jnp.broadcast_to(pos_e, (8, 3))
+    first = (_iota1(24) == 0)
+    d_e = jnp.where(first, sep_best, BIG)
+    p_e = jnp.broadcast_to(pos_e, (24, 3))
 
     dist = jnp.where(use_f1, d_f1, jnp.where(use_f2, d_f2, d_e))
     pos = jnp.where(use_f1, p_f1, jnp.where(use_f2, p_f2, p_e))
-    nrm = jnp.broadcast_to(n_w, (8, 3))
+    nrm = jnp.broadcast_to(n_w, (24, 3))
     return dist, pos, nrm
