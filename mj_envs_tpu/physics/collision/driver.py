@@ -157,6 +157,149 @@ def compact(m: Model, con: Contact, ncmax: int) -> CompactContacts:
     )
 
 
+def _make_tangents_bm(n):
+    """_make_tangents in batch-minor layout: n is (3, S, B)."""
+    z_seed = jnp.abs(n[2]) < 0.5
+    zs = z_seed.astype(n.dtype)
+    # e = e_z when z_seed else e_y
+    e = jnp.stack([jnp.zeros_like(n[0]), 1.0 - zs, zs])
+    ne = jnp.sum(n * e, axis=0)
+    t1 = e - n * ne
+    t1 = t1 / jnp.maximum(jnp.sqrt(jnp.sum(t1 * t1, axis=0)), 1e-12)
+    t2 = jnp.stack([n[1] * t1[2] - n[2] * t1[1],
+                    n[2] * t1[0] - n[0] * t1[2],
+                    n[0] * t1[1] - n[1] * t1[0]])
+    return t1, t2
+
+
+def _narrowphase_all_batched(m: Model, kin: Kin,
+                             size_batched: bool) -> Contact:
+    """Batched narrowphase in batch-minor (env-last) layout.
+
+    Under plain vmap every narrowphase intermediate is laid out with the
+    env axis leading and tiny (3,)/(3,3) axes minormost; the TPU pads the
+    two minor dims to (8,128) vector registers, a ~64x waste that made
+    collide() ~45% of the whole physics substep.  Transposing the inputs
+    to (components..., P, B) and vmapping with in_axes/out_axes=-1 keeps
+    the env axis in vector lanes through the entire elementwise pipeline
+    (bit-identical results; box_box 14.4 ms -> 0.75 ms at 1024 envs).
+    Returns a batched AoS Contact (B leading) for the downstream stages.
+    """
+    s = m.spec
+    dtype = kin.geom_xpos.dtype
+    B = kin.geom_xpos.shape[0]
+
+    gx = jnp.transpose(kin.geom_xpos, (2, 1, 0))      # (3, ngeom, B)
+    gm = jnp.transpose(kin.geom_xmat, (2, 3, 1, 0))   # (3, 3, ngeom, B)
+    if size_batched:
+        size_bm = jnp.transpose(m.geom_size, (2, 1, 0))  # (3, ngeom, B)
+    else:
+        size_bm = m.geom_size.T                          # (3, ngeom)
+
+    gt = s.geom_type
+    groups = []
+    for pid in range(s.npair):
+        key = (int(gt[s.pair_geom1[pid]]), int(gt[s.pair_geom2[pid]]))
+        if groups and groups[-1][0] == key:
+            groups[-1][1].append(pid)
+        else:
+            groups.append((key, [pid]))
+
+    chunks_d, chunks_p, chunks_n = [], [], []
+    for key, pids in groups:
+        fn, maxcon = _FNS[key]
+        P = len(pids)
+        pids_np = np.asarray(pids, dtype=np.int32)
+        g1 = s.pair_geom1[pids_np]
+        g2 = s.pair_geom2[pids_np]
+        xp1, xp2 = gx[:, g1, :], gx[:, g2, :]          # (3, P, B)
+        xm1, xm2 = gm[:, :, g1, :], gm[:, :, g2, :]    # (3, 3, P, B)
+        if size_batched:
+            s1, s2 = size_bm[:, g1, :], size_bm[:, g2, :]
+            sz_in = -1
+        else:
+            s1, s2 = size_bm[:, g1], size_bm[:, g2]    # (3, P)
+            sz_in = None
+        marg = m.pair_margin[pids_np]                  # (P,)
+
+        inner = jax.vmap(fn, in_axes=(-1,) * 7, out_axes=-1)   # over P
+        outer = jax.vmap(inner,
+                         in_axes=(-1, -1, sz_in, -1, -1, sz_in, None),
+                         out_axes=-1)                          # over B
+        d_g, p_g, n_g = outer(xp1, xm1, s1, xp2, xm2, s2, marg)
+        # d_g (C, P, B); p_g/n_g (C, 3, P, B) -> slot-major batch-minor
+        C = d_g.shape[0]
+        chunks_d.append(jnp.transpose(d_g, (1, 0, 2))
+                        .reshape(P * C, B).astype(dtype))
+        chunks_p.append(jnp.transpose(p_g, (1, 2, 0, 3))
+                        .reshape(3, P * C, B).astype(dtype))
+        chunks_n.append(jnp.transpose(n_g, (1, 2, 0, 3))
+                        .reshape(3, P * C, B).astype(dtype))
+
+    dist_bm = jnp.concatenate(chunks_d, axis=0)        # (S, B)
+    pos_bm = jnp.concatenate(chunks_p, axis=1)         # (3, S, B)
+    nrm_bm = jnp.concatenate(chunks_n, axis=1)
+    assert dist_bm.shape[0] == s.ncon_cap
+
+    margin = jnp.asarray(m.pair_margin)[np.asarray(s.con_pairid)]
+    active_bm = dist_bm < margin[:, None]
+    t1, t2 = _make_tangents_bm(nrm_bm)
+    # (row, comp, S, B): frame_bm[r] is frame row r (n, t1, t2).
+    frame_bm = jnp.stack([nrm_bm, t1, t2], axis=0)
+
+    # Back to AoS for the downstream (rows/solver) stages.
+    return Contact(
+        dist=dist_bm.T,
+        pos=jnp.transpose(pos_bm, (2, 1, 0)),
+        frame=jnp.transpose(frame_bm, (3, 2, 0, 1)),
+        active=active_bm.T,
+    )
+
+
+_CV_CACHE = {}
+
+
+def _make_collide_cv(ncmax: int):
+    from jax import custom_batching
+
+    @custom_batching.custom_vmap
+    def _collide(m, kin):
+        con = narrowphase_all(m, kin)
+        return con, compact(m, con, ncmax)
+
+    @_collide.def_vmap
+    def _collide_vmap(axis_size, in_batched, m, kin):
+        # Leaves that don't trace-depend on the mapped axis arrive
+        # unbatched (e.g. inside reset(): qpos is the shared qpos0, so
+        # geom_xmat is constant across envs while geom_xpos varies with
+        # the randomized board height) — broadcast them.
+        kb = in_batched[1]
+        if not kb.geom_xpos:
+            kin = kin._replace(geom_xpos=jnp.broadcast_to(
+                kin.geom_xpos, (axis_size,) + kin.geom_xpos.shape))
+        if not kb.geom_xmat:
+            kin = kin._replace(geom_xmat=jnp.broadcast_to(
+                kin.geom_xmat, (axis_size,) + kin.geom_xmat.shape))
+        size_batched = bool(in_batched[0].geom_size)
+        con = _narrowphase_all_batched(m, kin, size_batched)
+        # compact() only reads static tables from m — safe to close over.
+        cc = jax.vmap(
+            lambda d, p, f, a: compact(
+                m, Contact(dist=d, pos=p, frame=f, active=a), ncmax))(
+            con.dist, con.pos, con.frame, con.active)
+        out_batched = (Contact(dist=True, pos=True, frame=True,
+                               active=True),
+                       CompactContacts(pairid=True, dist=True, pos=True,
+                                       frame=True, active=True, geom1=True,
+                                       geom2=True, condim=True))
+        return (con, cc), out_batched
+
+    return _collide
+
+
 def collide(m: Model, kin: Kin, ncmax: int):
-    con = narrowphase_all(m, kin)
-    return con, compact(m, con, ncmax)
+    """Narrowphase + compaction.  Under one level of vmap the custom
+    batching rule reroutes to the batch-minor implementation."""
+    if ncmax not in _CV_CACHE:
+        _CV_CACHE[ncmax] = _make_collide_cv(ncmax)
+    return _CV_CACHE[ncmax](m, kin)
