@@ -157,7 +157,10 @@ class AdroitEnv:
         var = self._reset_var(self.base_var(), sub)
         model = _apply_var(self.model, var)
         d = make_data(model, dtype=self.dtype)
-        d = pipeline.forward(model, d)
+        # Light forward (no collision/solve): step_auto_reset pays reset
+        # every vectorized step, and the first obs needs only kinematic
+        # caches + jointpos/actuatorfrc sensors (see forward_light).
+        d = pipeline.forward_light(model, d)
         obs = self._obs(model, d)
         zero = jnp.zeros((), dtype=self.dtype)
         return EnvState(

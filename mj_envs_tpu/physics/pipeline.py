@@ -149,6 +149,46 @@ def forward(m: Model, d: Data) -> Data:
     return _write_caches(m, d, out).replace(qacc=out.qacc)
 
 
+def forward_light(m: Model, d: Data) -> Data:
+    """Reset-path forward: kinematic caches + the obs-relevant sensors,
+    WITHOUT collision or the constraint solve.
+
+    `env.reset` only needs pose caches and sensor values for the first
+    observation; at a fresh (qpos0, qvel=0) state contact forces are not
+    observable through any task obs (the only obs-visible touch sensor is
+    hammer's S_nail, untouched at reset), so the full pipeline — which
+    step_auto_reset would otherwise pay EVERY vectorized step — is
+    skipped.  Leaving qacc_warmstart at zero also matches the reference
+    more closely: mujoco's mj_forward does not update qacc_warmstart, so
+    after the reference's reset_model() the next step starts from a zero
+    warmstart (`mjrl mujoco_env` reset; mj_resetData zeroes it)."""
+    import numpy as np
+    s = m.spec
+    kin = K.kinematics(m, d.qpos)
+    act = A.actuation(m, d.qpos, d.qvel, d.ctrl)
+    sensordata = jnp.zeros((s.nsensordata,), dtype=d.qpos.dtype)
+    jp = [(obj, adr) for st, obj, adr, _ in s.sensors if st == "jointpos"]
+    af = [(obj, adr) for st, obj, adr, _ in s.sensors
+          if st == "actuatorfrc"]
+    if jp:
+        objs = np.array([o for o, _ in jp])
+        adrs = np.array([a for _, a in jp])
+        sensordata = sensordata.at[adrs].set(d.qpos[objs])
+    if af:
+        objs = np.array([o for o, _ in af])
+        adrs = np.array([a for _, a in af])
+        sensordata = sensordata.at[adrs].set(act.actuator_force[objs])
+    return d.replace(
+        xpos=kin.xpos, xquat=kin.xquat, xipos=kin.xipos,
+        geom_xpos=kin.geom_xpos, geom_xmat=kin.geom_xmat,
+        site_xpos=kin.site_xpos, site_xmat=kin.site_xmat,
+        subtree_com=kin.subtree_com,
+        ten_length=act.ten_length,
+        actuator_force=act.actuator_force,
+        sensordata=sensordata,
+    )
+
+
 def _write_caches(m: Model, d: Data, out: ForwardOut) -> Data:
     kin = out.kin
     return d.replace(
