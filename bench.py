@@ -7,14 +7,23 @@ machine: single-env mujoco (C physics, one core) stepping the same
 sanitized hammer scene with frame_skip=5 — the reference stack's
 throughput ceiling per `SURVEY.md` §6 (the reference itself publishes no
 numbers; it steps ONE env on CPU through mujoco-py).
+
+Timeout-proof by construction (round 1 post-mortem: BENCH_r01.json was
+rc=124 with no output): each batch size runs in a CHILD process with its
+own timeout, sized to fit the remaining deadline; the parent always
+prints the best completed measurement.  Cold XLA compiles land in the
+persistent cache (`mj_envs_tpu/__init__.py`), so the escalation 1024 ->
+4096 costs one extra compile only on a completely cold machine.
 """
 import json
 import os
+import subprocess
 import sys
 import time
 
-NUM_ENVS = int(os.environ.get("BENCH_NUM_ENVS", 4096))
 MEASURE_STEPS = int(os.environ.get("BENCH_STEPS", 20))
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE", 1500))
+_T0 = time.time()
 
 
 def bench_oracle_steps_per_s() -> float:
@@ -39,14 +48,13 @@ def bench_oracle_steps_per_s() -> float:
         return float("nan")
 
 
-def main():
+def child_measure(num_envs: int) -> None:
+    """Measure steps/s at `num_envs`; print one JSON line and exit."""
     import jax
     import jax.numpy as jnp
     from mj_envs_tpu import envs
 
     backend = jax.default_backend()
-    num_envs = NUM_ENVS if backend == "tpu" else min(NUM_ENVS, 256)
-
     env = envs.make("hammer-v0")
     key = jax.random.PRNGKey(0)
     reset = jax.jit(jax.vmap(env.reset))
@@ -76,18 +84,68 @@ def main():
     state, k = rollout_j(state, key)
     jax.block_until_ready(state.obs)
 
-    t0 = time.perf_counter()
-    state, k = rollout_j(state, k)
-    jax.block_until_ready(state.obs)
-    dt = time.perf_counter() - t0
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, k = rollout_j(state, k)
+        jax.block_until_ready(state.obs)
+        dt = time.perf_counter() - t0
+        best = max(best, num_envs * MEASURE_STEPS / dt)
+    print(json.dumps({"num_envs": num_envs, "steps_per_s": best,
+                      "backend": backend}), flush=True)
 
-    steps_per_s = num_envs * MEASURE_STEPS / dt
+
+def main():
+    # Probe the backend cheaply (no compiles).
+    try:
+        import jax
+        backend = jax.default_backend()
+    except Exception:
+        backend = "cpu"
+
+    if backend == "tpu":
+        sizes = [int(s) for s in os.environ.get(
+            "BENCH_SIZES", "1024,4096").split(",")]
+    else:
+        sizes = [256]
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    results = []
+    for n in sizes:
+        remaining = DEADLINE_S - (time.time() - _T0) - 30.0
+        if results and remaining < 120.0:
+            break          # keep what we have rather than risk rc=124
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--child", str(n)],
+                capture_output=True, text=True, cwd=here,
+                timeout=max(60.0, remaining))
+            for line in out.stdout.splitlines():
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if "steps_per_s" in rec:
+                    results.append(rec)
+                    break
+        except subprocess.TimeoutExpired:
+            break
+
+    if not results:
+        print(json.dumps({
+            "metric": "hammer-v0 env-steps/s/chip (FAILED to measure)",
+            "value": 0.0, "unit": "env-steps/s", "vs_baseline": 0.0}))
+        return
+
+    best = max(results, key=lambda r: r["steps_per_s"])
     oracle = bench_oracle_steps_per_s()
-    vs = steps_per_s / oracle if oracle == oracle else -1.0
+    sps = best["steps_per_s"]
+    vs = sps / oracle if oracle == oracle else -1.0
     print(json.dumps({
-        "metric": f"hammer-v0 env-steps/s/chip @ {num_envs} envs "
-                  f"({backend})",
-        "value": round(steps_per_s, 1),
+        "metric": f"hammer-v0 env-steps/s/chip @ {best['num_envs']} envs "
+                  f"({best['backend']})",
+        "value": round(sps, 1),
         "unit": "env-steps/s",
         "vs_baseline": round(vs, 2),
     }))
@@ -95,4 +153,7 @@ def main():
 
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--child":
+        child_measure(int(sys.argv[2]))
+    else:
+        main()

@@ -190,11 +190,14 @@ class AdroitEnv:
                         action: jnp.ndarray) -> EnvState:
         """step + in-graph auto-reset on termination OR episode cap.
 
-        The returned state carries the *terminal* obs/reward/done of the
-        finishing step (so learners see the true transition) but the
-        physics/bookkeeping of the freshly reset episode — the standard
-        batched-env convention.  Truncation at MAX_EPISODE_STEPS mirrors
-        the gym registration caps (`mj_envs_vision/__init__.py:4-28`)."""
+        On restart the returned state is the freshly reset episode,
+        *including its first observation* (the brax/gymnax auto-reset
+        convention: the next policy action must be computed from the new
+        episode's obs, not the finished one's terminal obs).  The
+        finishing step's reward/done/goal_achieved are kept so learners
+        see the true terminal transition.  Truncation at
+        MAX_EPISODE_STEPS mirrors the gym registration caps
+        (`mj_envs_vision/__init__.py:4-28`)."""
         st = self.step(state, action)
         trunc = st.step_count >= self.MAX_EPISODE_STEPS
         restart = st.done | trunc
@@ -202,9 +205,11 @@ class AdroitEnv:
 
         new_core = jax.tree_util.tree_map(
             lambda a, b: jnp.where(restart, a, b), fresh, st)
-        # Keep the finishing step's outward-facing fields.
+        # Keep the finishing step's outward-facing reward/termination
+        # fields; obs intentionally comes from new_core (fresh on
+        # restart, post-step otherwise).
         return new_core.replace(
-            obs=st.obs, reward=st.reward, done=st.done,
+            reward=st.reward, done=st.done,
             goal_achieved=st.goal_achieved)
 
     # -- parity/debug API (get_env_state/set_env_state analogue) --------------

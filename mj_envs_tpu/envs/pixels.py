@@ -47,7 +47,9 @@ class PixelObservationEnv:
         # (mujoco mj_setConst stat computation, approximated from geom
         # centers +- bounding radius).
         import mj_envs_tpu.physics.kinematics as K
-        kin = K.kinematics(env.model, env.model.qpos0)
+        # jit: run eagerly the unrolled kinematics is hundreds of tiny
+        # dispatches — minutes through the axon TPU tunnel.
+        kin = jax.jit(K.kinematics)(env.model, env.model.qpos0)
         gx = np.asarray(kin.geom_xpos)
         rad = np.asarray(env.model.geom_size).max(axis=1)
         lo = (gx - rad[:, None]).min(axis=0)

@@ -370,7 +370,11 @@ def build(spec: P.MjcfSpec, dtype=np.float64) -> Model:
         model_name=spec.model_name,
     )
 
-    j = lambda x: jnp.asarray(np.asarray(x, dtype=dtype))
+    # Build every leaf as NUMPY and ship the whole pytree in ONE
+    # device_put at the end: per-leaf jnp.asarray through the axon TPU
+    # tunnel costs a round-trip each (~45 leaves made `make()` take
+    # minutes; measured 225 s at round 2 start).
+    j = lambda x: np.asarray(x, dtype=dtype)
     model = Model(
         spec=mspec,
         qpos0=j(np.array([jt.ref for jt in spec.joints])),
@@ -419,8 +423,8 @@ def build(spec: P.MjcfSpec, dtype=np.float64) -> Model:
         act_biasprm=j(np.stack([a.biasprm for a in spec.actuators])),
         act_ctrlrange=j(np.stack([a.ctrlrange for a in spec.actuators])),
         act_forcerange=j(np.stack([a.forcerange for a in spec.actuators])),
-        act_forcelimited=jnp.asarray(
-            np.array([a.forcelimited for a in spec.actuators])),
+        act_forcelimited=np.array([a.forcelimited
+                                   for a in spec.actuators]),
         pair_friction=j(pair_friction),
         pair_margin=j(pair_margin),
         pair_gap=j(pair_gap),
@@ -428,6 +432,8 @@ def build(spec: P.MjcfSpec, dtype=np.float64) -> Model:
         pair_solimp=j(pair_solimp),
     )
 
+    import jax
+    model = jax.device_put(model)   # one batched host->device transfer
     return _set_invweights(model)
 
 
@@ -440,8 +446,15 @@ def _set_invweights(model: Model) -> Model:
     drops to a synchronous interop mode).  CPU/f64 parity processes set
     the CPU default device globally, so they still get exact invweights;
     TPU processes compute them in f32, which only perturbs constraint
-    regularization at ~1e-7 relative."""
-    return _set_invweights_impl(model)
+    regularization at ~1e-7 relative.
+
+    Jitted into ONE XLA program: run eagerly, the unrolled kinematics +
+    CRB graph is hundreds of tiny dispatches, each a tunnel round-trip
+    under the axon plugin (this was most of the 225 s `make()` stall).
+    The compiled program lands in the persistent cache, so reruns are
+    instant."""
+    import jax
+    return jax.jit(_set_invweights_impl)(model)
 
 
 def _set_invweights_impl(model: Model) -> Model:

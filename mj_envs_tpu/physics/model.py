@@ -258,6 +258,10 @@ class Data:
 
     contact: Contact
     efc_force: jnp.ndarray        # (nefc_cap,)
+    ncon_active: jnp.ndarray      # () int32 — in-margin contacts BEFORE
+                                  #  compaction; > the active cap means
+                                  #  compact() silently dropped contacts
+                                  #  (debug/parity overflow indicator)
 
 
 def make_data(model: Model, dtype=jnp.float64) -> Data:
@@ -291,4 +295,5 @@ def make_data(model: Model, dtype=jnp.float64) -> Data:
             active=jnp.zeros((s.ncon_cap,), dtype=bool),
         ),
         efc_force=z(s.nefc_cap),
+        ncon_active=jnp.zeros((), dtype=jnp.int32),
     )

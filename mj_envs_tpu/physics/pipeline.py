@@ -202,6 +202,7 @@ def _write_caches(m: Model, d: Data, out: ForwardOut) -> Data:
         contact=out.contact_full,
         efc_force=jnp.zeros_like(d.efc_force).at[
             :out.solve.efc_force.shape[0]].set(out.solve.efc_force),
+        ncon_active=jnp.sum(out.contact_full.active).astype(jnp.int32),
     )
 
 

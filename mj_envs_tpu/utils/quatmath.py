@@ -110,6 +110,36 @@ def axis_angle2quat(axis: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([c, s * axis], axis=-1)
 
 
+def mat2quat(mat: jnp.ndarray) -> jnp.ndarray:
+    """(...,3,3) rotation matrix -> (...,4) wxyz quaternion.
+
+    Reference algorithm (`mj_envs_vision/utils/quatmath.py:99-133`): the
+    largest-eigenvalue eigenvector of the symmetric 4x4 K matrix, with w
+    made non-negative.  Batched via jnp.linalg.eigh (ascending order, so
+    the largest eigenvector is the last column) instead of the
+    reference's per-element nditer loop.
+    """
+    Qxx, Qyx, Qzx = mat[..., 0, 0], mat[..., 0, 1], mat[..., 0, 2]
+    Qxy, Qyy, Qzy = mat[..., 1, 0], mat[..., 1, 1], mat[..., 1, 2]
+    Qxz, Qyz, Qzz = mat[..., 2, 0], mat[..., 2, 1], mat[..., 2, 2]
+    z = jnp.zeros_like(Qxx)
+    # Rows of the symmetric K matrix (lower half mirrored).
+    K = jnp.stack([
+        jnp.stack([Qxx - Qyy - Qzz, Qyx + Qxy, Qzx + Qxz, Qyz - Qzy],
+                  axis=-1),
+        jnp.stack([Qyx + Qxy, Qyy - Qxx - Qzz, Qzy + Qyz, Qzx - Qxz],
+                  axis=-1),
+        jnp.stack([Qzx + Qxz, Qzy + Qyz, Qzz - Qxx - Qyy, Qxy - Qyx],
+                  axis=-1),
+        jnp.stack([Qyz - Qzy, Qzx - Qxz, Qxy - Qyx, Qxx + Qyy + Qzz],
+                  axis=-1),
+    ], axis=-2) / 3.0
+    _, vecs = jnp.linalg.eigh(K)
+    v = vecs[..., -1]                      # largest eigenvalue (ascending)
+    q = jnp.stack([v[..., 3], v[..., 0], v[..., 1], v[..., 2]], axis=-1)
+    return q * jnp.where(q[..., 0:1] < 0, -1.0, 1.0)
+
+
 def euler2mat(euler: jnp.ndarray) -> jnp.ndarray:
     """Euler angles (...,3) -> rotation matrix (reference formula)."""
     ai, aj, ak = -euler[..., 2], -euler[..., 1], -euler[..., 0]

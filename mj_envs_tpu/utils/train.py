@@ -168,7 +168,13 @@ def train_planet_policy(config, env, out_dir: Optional[str] = None):
 
     def collect(params, key, explore_noise):
         """Single-env rollout into the replay (reference
-        collect_experience; exploration noise train.py:189)."""
+        collect_experience, train.py:179-195): appends the PRE-step
+        observation with the action computed from it (`experience.append
+        (obs, action, rwd, done); obs = next_obs`), so `planet.loss_fn`'s
+        obs[1:] / actions[:-1] pairing sees the reference alignment.
+        Exploration noise is `action_noise * U[0,1)` exactly like the
+        reference's sample_action (`baselines.py:181-183` — uniform, not
+        zero-mean)."""
         key, kr = jax.random.split(key)
         ps = reset_j(kr)
         h = jnp.zeros((1, cfg.belief_size))
@@ -178,16 +184,17 @@ def train_planet_policy(config, env, out_dir: Optional[str] = None):
         for t in range(T):
             key, k1, k2, k3 = jax.random.split(key, 4)
             from ..render.raster import images_to_observation
-            obs_pl = images_to_observation(ps.pixels, config.bit_depth,
+            pre_pixels = ps.pixels      # obs the action is computed from
+            obs_pl = images_to_observation(pre_pixels, config.bit_depth,
                                            key=k1)[None]
             h, s = infer_j(params, k2, h, s, a, obs_pl)
             a = plan_j(params, k3, h, s)
             if explore_noise > 0:
                 key, kn = jax.random.split(key)
-                a = jnp.clip(a + explore_noise * jax.random.normal(
+                a = jnp.clip(a + explore_noise * jax.random.uniform(
                     kn, a.shape), -1.0, 1.0)
             ps = step_j(ps, a[0])
-            mem.append(np.asarray(ps.pixels), np.asarray(a[0]),
+            mem.append(np.asarray(pre_pixels), np.asarray(a[0]),
                        float(ps.state.reward), bool(ps.state.done))
             total_r += float(ps.state.reward)
         return key, total_r
@@ -200,8 +207,9 @@ def train_planet_policy(config, env, out_dir: Optional[str] = None):
         ps = reset_j(kr)
         for t in range(T):
             a = rng.uniform(-1, 1, env.nu).astype(np.float32)
+            pre_pixels = np.asarray(ps.pixels)   # pre-step obs (see above)
             ps = step_j(ps, jnp.asarray(a))
-            mem.append(np.asarray(ps.pixels), a, float(ps.state.reward),
+            mem.append(pre_pixels, a, float(ps.state.reward),
                        bool(ps.state.done))
 
     metrics = Metrics()

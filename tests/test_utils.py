@@ -100,3 +100,55 @@ def test_quatmath_vs_reference_formulas():
         e2 = np.asarray(Q.quat2euler(jnp.asarray(ref)))
         m_back = np.asarray(Q.quat2mat(Q.euler2quat(jnp.asarray(e2))))
         assert np.allclose(m_ours, m_back, atol=1e-8)
+
+
+def test_quatmath_full_api():
+    """The remaining reference quatmath surface (`utils/quatmath.py:
+    7-57,99-133`): mulQuat/negQuat/quat2Vel/quatDiff2Vel/axis_angle2quat/
+    euler2mat/mat2quat — identity and cross-consistency checks in f64."""
+    import jax.numpy as jnp
+    from mj_envs_tpu.utils import quatmath as Q
+
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        r = rng.normal(size=4)
+        r /= np.linalg.norm(r)
+        qj, rj = jnp.asarray(q), jnp.asarray(r)
+
+        # mulQuat against rotation-matrix composition.
+        m = np.asarray(Q.quat2mat(Q.mulQuat(qj, rj)))
+        m_ref = np.asarray(Q.quat2mat(qj)) @ np.asarray(Q.quat2mat(rj))
+        assert np.allclose(m, m_ref, atol=1e-10)
+
+        # negQuat is the inverse for unit quats.
+        ident = np.asarray(Q.quat2mat(Q.mulQuat(qj, Q.negQuat(qj))))
+        assert np.allclose(ident, np.eye(3), atol=1e-10)
+
+        # mat2quat(quat2mat(q)) == q up to sign; w kept non-negative.
+        q_back = np.asarray(Q.mat2quat(Q.quat2mat(qj)))
+        sign = np.sign(q[0]) if q[0] != 0 else 1.0
+        assert np.allclose(q_back, sign * q, atol=1e-8)
+        assert q_back[0] >= 0
+
+        # axis_angle2quat + quat2Vel round-trip (angle in (0, pi)).
+        axis = rng.normal(size=3)
+        axis /= np.linalg.norm(axis)
+        angle = rng.uniform(0.1, 3.0)
+        qa = Q.axis_angle2quat(jnp.asarray(axis), jnp.asarray(angle))
+        speed, ax = Q.quat2Vel(qa)
+        assert np.allclose(float(speed), angle, atol=1e-8)
+        assert np.allclose(np.asarray(ax), axis, atol=1e-8)
+
+        # quatDiff2Vel(q1 -> q2) recovers the relative rotation rate.
+        dq = Q.axis_angle2quat(jnp.asarray(axis), jnp.asarray(angle))
+        q2 = Q.mulQuat(dq, qj)
+        speed, ax = Q.quatDiff2Vel(qj, q2, dt=2.0)
+        assert np.allclose(float(speed), angle / 2.0, atol=1e-8)
+
+        # euler2mat consistent with quat2mat(euler2quat(e)).
+        e = rng.uniform(-2, 2, 3)
+        m1 = np.asarray(Q.euler2mat(jnp.asarray(e)))
+        m2 = np.asarray(Q.quat2mat(Q.euler2quat(jnp.asarray(e))))
+        assert np.allclose(m1, m2, atol=1e-10)
