@@ -95,21 +95,46 @@ def child_measure(num_envs: int) -> None:
                       "backend": backend}), flush=True)
 
 
-def main():
-    # Probe the backend cheaply (no compiles).
+def probe_backend() -> str:
+    """Report the default backend ('tpu'/'cpu'/...) and exit."""
     try:
         import jax
-        backend = jax.default_backend()
+        print("BACKEND=" + jax.default_backend(), flush=True)
     except Exception:
-        backend = "cpu"
+        print("BACKEND=none", flush=True)
 
+
+def main():
+    here = os.path.dirname(os.path.abspath(__file__))
+    me = os.path.abspath(__file__)
+
+    # Probe the backend in a CHILD with a hard timeout: when the axon TPU
+    # tunnel is down, backend init can block 10+ minutes before failing
+    # (observed: 13 min to UNAVAILABLE) — that must not eat the deadline.
+    backend = "none"
+    try:
+        out = subprocess.run([sys.executable, me, "--probe"],
+                             capture_output=True, text=True, cwd=here,
+                             timeout=float(os.environ.get(
+                                 "BENCH_PROBE_TIMEOUT", 600)))
+        for line in out.stdout.splitlines():
+            if line.startswith("BACKEND="):
+                backend = line.split("=", 1)[1]
+    except subprocess.TimeoutExpired:
+        pass
+
+    child_env = dict(os.environ)
     if backend == "tpu":
         sizes = [int(s) for s in os.environ.get(
             "BENCH_SIZES", "1024,4096").split(",")]
     else:
+        # CPU fallback: scrub the axon plugin so children don't re-dial
+        # the downed tunnel, and pin the CPU platform.
         sizes = [256]
+        from mj_envs_tpu.utils.hostcpu import scrub_axon_env
+        child_env = scrub_axon_env(child_env)
+        child_env["JAX_PLATFORMS"] = "cpu"
 
-    here = os.path.dirname(os.path.abspath(__file__))
     results = []
     for n in sizes:
         remaining = DEADLINE_S - (time.time() - _T0) - 30.0
@@ -117,9 +142,8 @@ def main():
             break          # keep what we have rather than risk rc=124
         try:
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--child", str(n)],
-                capture_output=True, text=True, cwd=here,
+                [sys.executable, me, "--child", str(n)],
+                capture_output=True, text=True, cwd=here, env=child_env,
                 timeout=max(60.0, remaining))
             for line in out.stdout.splitlines():
                 try:
@@ -155,5 +179,7 @@ if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     if len(sys.argv) >= 3 and sys.argv[1] == "--child":
         child_measure(int(sys.argv[2]))
+    elif len(sys.argv) >= 2 and sys.argv[1] == "--probe":
+        probe_backend()
     else:
         main()

@@ -28,15 +28,31 @@ def _host_fingerprint() -> str:
 
 
 def enable_compilation_cache(path: str | None = None) -> None:
-    """Persistent XLA compilation cache (the pipeline programs are large;
-    cold compiles run minutes on CPU XLA — cache makes reruns instant)."""
+    """Persistent XLA compilation cache — TPU processes only.
+
+    On TPU the pipeline programs compile in tens of seconds and the
+    cache makes bench/driver reruns near-instant; executables are
+    chip-keyed and serialize safely.
+
+    On XLA:CPU the persistent cache is a net LIABILITY on this class of
+    host and is deliberately left off: three distinct native crash modes
+    were reproduced across round-1/2 test runs — (a)
+    `executable.serialize()` aborts the process on the largest
+    executables (fused 200-step eval rollouts), (b) the AOT
+    *deserializer* segfaults after ~100 loads in one process (see
+    tests/test_step_parity._build_cached), and (c) after many
+    serialize/deserialize cycles a later fresh compile segfaults inside
+    backend_compile_and_load.  None are catchable from Python.  CPU
+    runs (tests, parity harnesses) therefore recompile per process —
+    slower but deterministic.  Set MJ_ENVS_TPU_CPU_CACHE=1 to opt back
+    in on hosts where XLA:CPU serialization is sound."""
     import jax
     # Platform tag from the environment (NOT jax.default_backend(), which
-    # would initialize backends at import time): a TPU-plugin process
-    # also compiles host-CPU executables, and those carry different CPU
-    # target features than a pure-CPU process — mixing them in one cache
-    # dir produced SIGILLs during later compiles.
+    # would initialize backends at import time).
     backend = _os.environ.get("JAX_PLATFORMS", "").split(",")[0] or "auto"
+    if backend not in ("axon", "tpu", "auto", "") and \
+            _os.environ.get("MJ_ENVS_TPU_CPU_CACHE", "0") != "1":
+        return
     cache = path or _os.path.join(
         _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
         ".jax_cache", f"{backend}-{_host_fingerprint()}")

@@ -160,6 +160,9 @@ def make_ppo(env: AdroitEnv, num_envs: int, cfg: PPOConfig = PPOConfig()):
         train_state, metrics = update(train_state, traj, advs, rets)
         metrics["mean_reward"] = traj.reward.mean()
         metrics["mean_episode_done"] = traj.done.astype(jnp.float32).mean()
+        # Cumulative quarantined non-finite states across the env batch
+        # (in-graph fault detection; see AdroitEnv.step_auto_reset).
+        metrics["nan_resets"] = env_state.nan_resets.sum()
         return train_state, env_state, metrics
 
     return init_fn, train_iter_fn, act_fn

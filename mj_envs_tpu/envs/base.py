@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ..mjcf import builder as B, oracle as O
+from ..mjcf import builder as B, task_xml_path
 from ..physics import pipeline
 from ..physics.model import Model, Data, make_data
 
@@ -66,6 +66,7 @@ class EnvState:
     goal_achieved: jnp.ndarray  # () bool
     step_count: jnp.ndarray   # () int32
     key: jax.Array            # PRNG key for this env's future resets
+    nan_resets: jnp.ndarray   # () int32 — quarantined non-finite states
 
 
 def _apply_var(model: Model, var: ModelVar) -> Model:
@@ -90,7 +91,7 @@ class AdroitEnv:
                  dtype=jnp.float32, xml_path: Optional[str] = None):
         self.variation_type = variation_type
         self.dtype = dtype
-        path = xml_path or O.task_xml_path(self.TASK)
+        path = xml_path or task_xml_path(self.TASK)
         model = B.build_from_xml(path, dtype=np.dtype(dtype))
         self.model = self._override_actuators(model)
         s = model.spec
@@ -167,7 +168,8 @@ class AdroitEnv:
             data=d, var=var, obs=obs, reward=zero,
             done=jnp.zeros((), dtype=bool),
             goal_achieved=jnp.zeros((), dtype=bool),
-            step_count=jnp.zeros((), dtype=jnp.int32), key=key)
+            step_count=jnp.zeros((), dtype=jnp.int32), key=key,
+            nan_resets=jnp.zeros((), dtype=jnp.int32))
 
     def step(self, state: EnvState, action: jnp.ndarray) -> EnvState:
         """One env step = clip/de-normalize + FRAME_SKIP physics substeps +
@@ -197,10 +199,20 @@ class AdroitEnv:
         finishing step's reward/done/goal_achieved are kept so learners
         see the true terminal transition.  Truncation at
         MAX_EPISODE_STEPS mirrors the gym registration caps
-        (`mj_envs_vision/__init__.py:4-28`)."""
+        (`mj_envs_vision/__init__.py:4-28`).
+
+        Fault handling (no reference counterpart — SURVEY §5 failure
+        detection): a non-finite post-step state (solver blow-up) is
+        quarantined in-graph: the env restarts fresh, the poisoned
+        reward is zeroed, done is reported so the learner cuts the GAE
+        bootstrap, and `nan_resets` counts the event for metrics.  One
+        bad env can therefore never poison a training batch."""
         st = self.step(state, action)
+        finite = (jnp.all(jnp.isfinite(st.data.qpos))
+                  & jnp.all(jnp.isfinite(st.data.qvel))
+                  & jnp.all(jnp.isfinite(st.obs)))
         trunc = st.step_count >= self.MAX_EPISODE_STEPS
-        restart = st.done | trunc
+        restart = st.done | trunc | ~finite
         fresh = self.reset(st.key)
 
         new_core = jax.tree_util.tree_map(
@@ -209,8 +221,11 @@ class AdroitEnv:
         # fields; obs intentionally comes from new_core (fresh on
         # restart, post-step otherwise).
         return new_core.replace(
-            reward=st.reward, done=st.done,
-            goal_achieved=st.goal_achieved)
+            reward=jnp.where(finite, st.reward,
+                             jnp.zeros_like(st.reward)),
+            done=st.done | ~finite,
+            goal_achieved=st.goal_achieved & finite,
+            nan_resets=state.nan_resets + (~finite).astype(jnp.int32))
 
     # -- parity/debug API (get_env_state/set_env_state analogue) --------------
 

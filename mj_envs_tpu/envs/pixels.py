@@ -43,17 +43,35 @@ class PixelObservationEnv:
         self.height = height
         self.width = width
         s = env.spec
-        # Model stat center: bounding-box midpoint of geoms at qpos0
-        # (mujoco mj_setConst stat computation, approximated from geom
-        # centers +- bounding radius).
+        # Model stat center: mujoco mj_setConst's mjStatistic.center —
+        # the midpoint of the bounding box over geom bounding SPHERES
+        # (geom_rbound) at qpos0, planes excluded (rbound 0).  This is
+        # the default free-camera lookat that mujoco-py's offscreen
+        # render context starts from, which the reference never changes
+        # (`headless_observer.py:26-31` only sets az/el/dist) — verified
+        # equal to the oracle's mm.stat.center in tests/test_vision.py.
         import mj_envs_tpu.physics.kinematics as K
+        from mj_envs_tpu.physics.model import (GEOM_PLANE, GEOM_SPHERE,
+                                               GEOM_CAPSULE, GEOM_CYLINDER,
+                                               GEOM_BOX)
         # jit: run eagerly the unrolled kinematics is hundreds of tiny
         # dispatches — minutes through the axon TPU tunnel.
         kin = jax.jit(K.kinematics)(env.model, env.model.qpos0)
         gx = np.asarray(kin.geom_xpos)
-        rad = np.asarray(env.model.geom_size).max(axis=1)
-        lo = (gx - rad[:, None]).min(axis=0)
-        hi = (gx + rad[:, None]).max(axis=0)
+        gt = np.asarray(s.geom_type)
+        size = np.asarray(env.model.geom_size)
+        rbound = np.zeros(s.ngeom)
+        rbound[gt == GEOM_SPHERE] = size[gt == GEOM_SPHERE, 0]
+        rbound[gt == GEOM_CAPSULE] = (size[gt == GEOM_CAPSULE, 0]
+                                      + size[gt == GEOM_CAPSULE, 1])
+        rbound[gt == GEOM_CYLINDER] = np.sqrt(
+            size[gt == GEOM_CYLINDER, 0] ** 2
+            + size[gt == GEOM_CYLINDER, 1] ** 2)
+        rbound[gt == GEOM_BOX] = np.linalg.norm(size[gt == GEOM_BOX],
+                                                axis=1)
+        keep = gt != GEOM_PLANE
+        lo = (gx[keep] - rbound[keep, None]).min(axis=0)
+        hi = (gx[keep] + rbound[keep, None]).max(axis=0)
         self.stat_center = 0.5 * (lo + hi)
 
         # Reference lookat body for the elevation formula.

@@ -1,0 +1,475 @@
+"""Pallas TPU kernels for the constraint-solver hot loops.
+
+The noslip post-pass is a Gauss-Seidel sweep: `iterations x R` strictly
+sequential rank-1 updates.  As XLA `scan` ops over (B, R) arrays each
+row update costs one loop-dispatch (~5-8 us) — 2600 iterations made
+noslip ~18 ms of the 71 ms substep at 1024 envs.  Inside one Pallas
+kernel the same loop runs entirely out of VMEM in batch-minor layout
+(lanes = envs), taking the per-iteration cost to the VPU-instruction
+scale.
+
+Math is IDENTICAL to the `jax.lax.scan` reference implementation in
+`solver.noslip` (same update order, same clamping); the f64 CPU parity
+path keeps the scan implementation, and `tests/test_kernels.py` checks
+kernel-vs-scan equivalence elementwise in f32.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import custom_batching
+
+_INTERPRET = False   # flipped by tests to run kernels on CPU
+
+
+def _noslip_scan(A, a_safe, lo, hi, gate, r0, u0, iters: int):
+    """Reference sweep on ONE env: A (R, R) with A[:,k] the update
+    column; returns u after `iters` Gauss-Seidel sweeps."""
+    R = r0.shape[0]
+
+    def row_update(carry, k):
+        r, u = carry
+        du = -r[k] / a_safe[k]
+        u_new = jnp.clip(u[k] + du, lo[k], hi[k])
+        du_act = jnp.where(gate[k] > 0, u_new - u[k], 0.0)
+        r = r + A[:, k] * du_act
+        u = u.at[k].add(du_act)
+        return (r, u), None
+
+    def sweep(carry, _):
+        carry, _ = jax.lax.scan(row_update, carry, jnp.arange(R))
+        return carry, None
+
+    (r, u), _ = jax.lax.scan(sweep, (r0, u0), None, length=iters)
+    return u
+
+
+def _noslip_kernel(AT_ref, a_ref, lo_ref, hi_ref, gate_ref, r0_ref,
+                   u0_ref, u_out_ref, r_scr, u_scr, *, R: int, iters: int):
+    r_scr[:] = r0_ref[:]
+    u_scr[:] = u0_ref[:]
+
+    def row(k, carry):
+        import jax.numpy as jnp  # noqa: F811 (clarity inside kernel)
+        from jax.experimental import pallas as pl
+        rk = r_scr[pl.ds(k, 1), :]                   # (1, B)
+        ak = a_ref[pl.ds(k, 1), :]
+        uk = u_scr[pl.ds(k, 1), :]
+        du = -rk / ak
+        u_new = jnp.clip(uk + du, lo_ref[pl.ds(k, 1), :],
+                         hi_ref[pl.ds(k, 1), :])
+        du_act = jnp.where(gate_ref[pl.ds(k, 1), :] > 0.0,
+                           u_new - uk, 0.0)
+        r_scr[:] = r_scr[:] + AT_ref[k] * du_act     # (R, B) += (R,B)*(1,B)
+        u_scr[pl.ds(k, 1), :] = uk + du_act
+        return carry
+
+    def sweep(s, carry):
+        return jax.lax.fori_loop(0, R, row, carry)
+
+    jax.lax.fori_loop(0, iters, sweep, 0)
+    u_out_ref[:] = u_scr[:]
+
+
+def _noslip_pallas(A, a_safe, lo, hi, gate, r0, u0, iters: int,
+                   block_b: int = 64):
+    """Batched sweep on TPU: A (B, R, R) f32; returns u (B, R)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, R, _ = A.shape
+    pad = (-B) % block_b
+    if pad:
+        padf = lambda x: jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+        A, a_safe, lo, hi, gate, r0, u0 = map(
+            padf, (A, a_safe, lo, hi, gate, r0, u0))
+        B = B + pad
+
+    # Batch-minor layouts: AT[k, j, b] = A[b, j, k] so the kernel's
+    # per-row column fetch indexes the MAJOR dim (free); vectors (R, B).
+    AT = jnp.transpose(A, (2, 1, 0))
+    vecs = [jnp.transpose(x, (1, 0))
+            for x in (a_safe, lo, hi, gate, r0, u0)]
+
+    vspec = pl.BlockSpec((R, block_b), lambda g: (0, g),
+                         memory_space=pltpu.VMEM)
+    u_t = pl.pallas_call(
+        functools.partial(_noslip_kernel, R=R, iters=iters),
+        grid=(B // block_b,),
+        in_specs=[pl.BlockSpec((R, R, block_b), lambda g: (0, 0, g),
+                               memory_space=pltpu.VMEM)] + [vspec] * 6,
+        out_specs=vspec,
+        out_shape=jax.ShapeDtypeStruct((R, B), A.dtype),
+        scratch_shapes=[pltpu.VMEM((R, block_b), A.dtype)] * 2,
+        interpret=_INTERPRET,
+    )(AT, *vecs)
+    u = jnp.transpose(u_t, (1, 0))
+    return u[: u.shape[0] - pad] if pad else u
+
+
+def make_noslip_sweep(iters: int):
+    """Returns sweep(A, a_safe, lo, hi, gate, r0, u0) with static
+    iteration count, batch-aware: the unbatched form runs the scan; one
+    level of vmap reroutes to the Pallas kernel on TPU f32 (scan
+    fallback elsewhere)."""
+
+    @custom_batching.custom_vmap
+    def sweep(A, a_safe, lo, hi, gate, r0, u0):
+        return _noslip_scan(A, a_safe, lo, hi, gate, r0, u0, iters)
+
+    @sweep.def_vmap
+    def sweep_vmap(axis_size, in_batched, A, a_safe, lo, hi, gate, r0, u0):
+        args = [A, a_safe, lo, hi, gate, r0, u0]
+        flat = []
+        for x, b in zip(args, in_batched):
+            flat.append(x if b else jnp.broadcast_to(
+                x, (axis_size,) + x.shape))
+        A, a_safe, lo, hi, gate, r0, u0 = flat
+        use_pallas = (A.dtype == jnp.float32
+                      and jax.default_backend() == "tpu")
+        if use_pallas:
+            u = _noslip_pallas(A, a_safe, lo, hi, gate, r0, u0, iters)
+        else:
+            u = jax.vmap(lambda *xs: _noslip_scan(*xs, iters))(
+                A, a_safe, lo, hi, gate, r0, u0)
+        return u, True
+
+    return sweep
+
+
+_SWEEPS = {}
+
+
+def noslip_sweep_cached(iters: int):
+    if iters not in _SWEEPS:
+        _SWEEPS[iters] = make_noslip_sweep(iters)
+    return _SWEEPS[iters]
+
+
+# ---------------------------------------------------------------------------
+# Newton exact linesearch
+#
+# solver.newton_solve's safeguarded linesearch is 12 bracket + 16
+# bisection-Newton iterations, each evaluating phi'(alpha) (and phi'')
+# over all constraint rows — ~44 evaluations x ~8 element-wise ops on
+# (B, R) arrays per Newton iteration.  As XLA while-loop ops each costs
+# a dispatch + an HBM round-trip of the (B, R) operands; inside one
+# Pallas kernel the whole search runs on VMEM-resident rows.
+# ---------------------------------------------------------------------------
+
+
+def _ls_phi_terms(jar_a, D, floss, active):
+    """Constraint force f(jar_a) and active-quadratic mask (exactly
+    solver._forces, element-wise)."""
+    is_fric = floss > 0
+    f_quad = -D * jar_a
+    f_fric = jnp.clip(f_quad, -floss, floss)
+    f_one = jnp.where(jar_a < 0, f_quad, 0.0)
+    f = jnp.where(is_fric, f_fric, f_one)
+    quad = jnp.where(is_fric, jnp.abs(f_quad) <= floss, jar_a < 0) & active
+    return f * active, quad
+
+
+def _linesearch_ref(jar, Jp, D, floss, active, c1, c2,
+                    bracket_iters: int, ls_iters: int):
+    """Reference linesearch on ONE env (vectors (R,)); returns alpha.
+    Ops and order IDENTICAL to solver.newton_solve's inline search."""
+    dtype = jar.dtype
+
+    def dphi(alpha):
+        jar_a = jar + alpha * Jp
+        f_a, _ = _ls_phi_terms(jar_a, D, floss, active)
+        return c1 + alpha * c2 - jnp.sum(f_a * Jp)
+
+    def ddphi(alpha):
+        jar_a = jar + alpha * Jp
+        _, quad_a = _ls_phi_terms(jar_a, D, floss, active)
+        return c2 + jnp.sum(jnp.where(quad_a, D, 0.0) * Jp * Jp)
+
+    hi = jax.lax.fori_loop(
+        0, bracket_iters,
+        lambda _, h: jnp.where(dphi(h) < 0, h * 2.0, h),
+        jnp.asarray(1.0, dtype=dtype))
+    lo = jnp.asarray(0.0, dtype=dtype)
+
+    def ls_body(_, st):
+        lo, hi, alpha = st
+        d1 = dphi(alpha)
+        d2 = ddphi(alpha)
+        lo = jnp.where(d1 < 0, alpha, lo)
+        hi = jnp.where(d1 < 0, hi, alpha)
+        a_newton = alpha - d1 / jnp.maximum(d2, 1e-30)
+        inside = (a_newton > lo) & (a_newton < hi)
+        alpha = jnp.where(inside, a_newton, 0.5 * (lo + hi))
+        return (lo, hi, alpha)
+
+    lo, hi, alpha = jax.lax.fori_loop(
+        0, ls_iters, ls_body, (lo, hi, jnp.minimum(hi, 1.0)))
+    return alpha
+
+
+def _linesearch_kernel(jar_ref, Jp_ref, D_ref, floss_ref, active_ref,
+                       c1_ref, c2_ref, alpha_out_ref, *,
+                       bracket_iters: int, ls_iters: int):
+    """Batch-minor linesearch: row refs (R, Bblk), scalar refs (1, Bblk).
+    Per-env scalars live as (1, B) lane vectors; every phi evaluation is
+    a handful of (R, B) VPU ops entirely in VMEM."""
+    jar = jar_ref[:]
+    Jp = Jp_ref[:]
+    D = D_ref[:]
+    floss = floss_ref[:]
+    active = active_ref[:] > 0.0
+    c1 = c1_ref[:]
+    c2 = c2_ref[:]
+    is_fric = floss > 0
+
+    def dphi(alpha):
+        jar_a = jar + alpha * Jp
+        f_quad = -D * jar_a
+        f_fric = jnp.clip(f_quad, -floss, floss)
+        f_one = jnp.where(jar_a < 0, f_quad, 0.0)
+        f = jnp.where(is_fric, f_fric, f_one) * active
+        return c1 + alpha * c2 - jnp.sum(f * Jp, axis=0, keepdims=True)
+
+    def ddphi(alpha):
+        jar_a = jar + alpha * Jp
+        f_quad = -D * jar_a
+        quad = jnp.where(is_fric, jnp.abs(f_quad) <= floss,
+                         jar_a < 0) & active
+        return c2 + jnp.sum(jnp.where(quad, D, 0.0) * Jp * Jp,
+                            axis=0, keepdims=True)
+
+    hi = jax.lax.fori_loop(
+        0, bracket_iters,
+        lambda _, h: jnp.where(dphi(h) < 0, h * 2.0, h),
+        jnp.ones_like(c1))
+    lo = jnp.zeros_like(c1)
+
+    def ls_body(_, st):
+        lo, hi, alpha = st
+        d1 = dphi(alpha)
+        d2 = ddphi(alpha)
+        lo = jnp.where(d1 < 0, alpha, lo)
+        hi = jnp.where(d1 < 0, hi, alpha)
+        a_newton = alpha - d1 / jnp.maximum(d2, 1e-30)
+        inside = (a_newton > lo) & (a_newton < hi)
+        alpha = jnp.where(inside, a_newton, 0.5 * (lo + hi))
+        return (lo, hi, alpha)
+
+    lo, hi, alpha = jax.lax.fori_loop(
+        0, ls_iters, ls_body, (lo, hi, jnp.minimum(hi, 1.0)))
+    alpha_out_ref[:] = alpha
+
+
+def _linesearch_pallas(jar, Jp, D, floss, active, c1, c2,
+                       bracket_iters: int, ls_iters: int,
+                       block_b: int = 128):
+    """Batched linesearch on TPU: inputs (B, R) / (B,); returns (B,)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, R = jar.shape
+    pad = (-B) % block_b
+    if pad:
+        padf = lambda x: jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+        jar, Jp, D, floss, active, c1, c2 = map(
+            padf, (jar, Jp, D, floss, active, c1, c2))
+        B = B + pad
+
+    rows = [jnp.transpose(x, (1, 0))
+            for x in (jar, Jp, D, floss, active.astype(jar.dtype))]
+    scalars = [c1[None, :], c2[None, :]]
+
+    rspec = pl.BlockSpec((R, block_b), lambda g: (0, g),
+                         memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((1, block_b), lambda g: (0, g),
+                         memory_space=pltpu.VMEM)
+    alpha = pl.pallas_call(
+        functools.partial(_linesearch_kernel, bracket_iters=bracket_iters,
+                          ls_iters=ls_iters),
+        grid=(B // block_b,),
+        in_specs=[rspec] * 5 + [sspec] * 2,
+        out_specs=sspec,
+        out_shape=jax.ShapeDtypeStruct((1, B), jar.dtype),
+        interpret=_INTERPRET,
+    )(*rows, *scalars)
+    out = alpha[0]
+    return out[: out.shape[0] - pad] if pad else out
+
+
+def make_linesearch(bracket_iters: int, ls_iters: int):
+    """Batch-aware linesearch: unbatched -> the reference fori_loop
+    (identical ops/order to the historical inline code, keeping f64
+    parity bits); one level of vmap -> Pallas on TPU f32, vmapped
+    reference elsewhere."""
+
+    @custom_batching.custom_vmap
+    def search(jar, Jp, D, floss, active, c1, c2):
+        return _linesearch_ref(jar, Jp, D, floss, active, c1, c2,
+                               bracket_iters, ls_iters)
+
+    @search.def_vmap
+    def search_vmap(axis_size, in_batched, jar, Jp, D, floss, active,
+                    c1, c2):
+        args = [jar, Jp, D, floss, active, c1, c2]
+        flat = []
+        for x, b in zip(args, in_batched):
+            flat.append(x if b else jnp.broadcast_to(
+                x, (axis_size,) + x.shape))
+        jar, Jp, D, floss, active, c1, c2 = flat
+        use_pallas = (jar.dtype == jnp.float32
+                      and jax.default_backend() == "tpu")
+        if use_pallas:
+            alpha = _linesearch_pallas(jar, Jp, D, floss, active, c1, c2,
+                                       bracket_iters, ls_iters)
+        else:
+            alpha = jax.vmap(
+                lambda *xs: _linesearch_ref(*xs, bracket_iters, ls_iters)
+            )(jar, Jp, D, floss, active, c1, c2)
+        return alpha, True
+
+    return search
+
+
+_SEARCHES = {}
+
+
+def linesearch_cached(bracket_iters: int, ls_iters: int):
+    key = (bracket_iters, ls_iters)
+    if key not in _SEARCHES:
+        _SEARCHES[key] = make_linesearch(bracket_iters, ls_iters)
+    return _SEARCHES[key]
+
+
+# ---------------------------------------------------------------------------
+# Batched SPD solve (Cholesky factorize + two triangular solves)
+#
+# newton_solve factorizes H (nv x nv, nv<=36) once per Newton iteration
+# per env.  XLA's batched cholesky/triangular_solve on TPU lower to
+# row-sequential loops over HBM operands; in batch-minor VMEM the
+# factorization is nv rank-1 updates of an (nv, nv, B) scratch with the
+# env axis in lanes.
+# ---------------------------------------------------------------------------
+
+
+def _chol_solve_kernel(H_ref, g_ref, x_out_ref, A_scr, Lt_scr, y_scr,
+                       *, nv: int):
+    """Solve H x = g per lane.  H (nv, nv, B) symmetric PD; g (nv, B).
+
+    A_scr holds the working matrix (kept symmetric through rank-1
+    trailing updates, so column k can always be read as ROW k — a
+    contiguous (nv, B) tile).  Lt_scr[k] stores column k of L."""
+    from jax.experimental import pallas as pl
+    A_scr[:] = H_ref[:]
+    row_ids = jax.lax.broadcasted_iota(
+        jnp.int32, (nv, H_ref.shape[-1]), 0)
+
+    def fact_body(k, carry):
+        row_k = A_scr[k]                            # (nv, B) == A[:, k, :]
+        akk = jax.lax.dynamic_slice_in_dim(row_k, k, 1, 0)   # (1, B)
+        inv_s = jax.lax.rsqrt(akk)
+        c = row_k * inv_s                           # column k of L
+        c = jnp.where(row_ids >= k, c, 0.0)
+        Lt_scr[k] = c
+        cu = jnp.where(row_ids > k, c, 0.0)
+        A_scr[:] = A_scr[:] - cu[:, None, :] * cu[None, :, :]
+        return carry
+
+    jax.lax.fori_loop(0, nv, fact_body, 0)
+
+    # Forward solve L y = g (running column updates).
+    y_scr[:] = g_ref[:]
+
+    def fwd_body(k, carry):
+        col = Lt_scr[k]                             # (nv, B), zeros above k
+        lkk = jax.lax.dynamic_slice_in_dim(col, k, 1, 0)
+        yk = y_scr[pl.ds(k, 1), :] / lkk
+        y_scr[pl.ds(k, 1), :] = yk
+        sub = jnp.where(row_ids > k, col, 0.0) * yk
+        y_scr[:] = y_scr[:] - sub
+        return carry
+
+    jax.lax.fori_loop(0, nv, fwd_body, 0)
+
+    # Back solve L^T x = y (dot with column k per step).
+    x_out_ref[:] = jnp.zeros_like(y_scr[:])
+
+    def bwd_body(kk, carry):
+        k = nv - 1 - kk
+        col = Lt_scr[k]
+        dot = jnp.sum(jnp.where(row_ids > k, col * x_out_ref[:], 0.0),
+                      axis=0, keepdims=True)        # (1, B)
+        lkk = jax.lax.dynamic_slice_in_dim(col, k, 1, 0)
+        xk = (y_scr[pl.ds(k, 1), :] - dot) / lkk
+        x_out_ref[pl.ds(k, 1), :] = xk
+        return carry
+
+    jax.lax.fori_loop(0, nv, bwd_body, 0)
+
+
+def _chol_solve_pallas(H, g, block_b: int = 128):
+    """Batched SPD solve on TPU: H (B, nv, nv), g (B, nv) -> x (B, nv)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, nv, _ = H.shape
+    pad = (-B) % block_b
+    if pad:
+        padf = lambda x: jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+        H, g = padf(H), padf(g)
+        # Padded lanes would divide by zero diagonals; make them identity.
+        eye = jnp.eye(nv, dtype=H.dtype)
+        lane = jnp.arange(B + pad) >= B
+        H = jnp.where(lane[:, None, None], eye[None], H)
+        B = B + pad
+
+    H_bm = jnp.transpose(H, (1, 2, 0))              # (nv, nv, B)
+    g_bm = jnp.transpose(g, (1, 0))                 # (nv, B)
+
+    mspec = pl.BlockSpec((nv, nv, block_b), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((nv, block_b), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+    x_bm = pl.pallas_call(
+        functools.partial(_chol_solve_kernel, nv=nv),
+        grid=(B // block_b,),
+        in_specs=[mspec, vspec],
+        out_specs=vspec,
+        out_shape=jax.ShapeDtypeStruct((nv, B), H.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((nv, nv, block_b), H.dtype),
+            pltpu.VMEM((nv, nv, block_b), H.dtype),
+            pltpu.VMEM((nv, block_b), H.dtype),
+        ],
+        interpret=_INTERPRET,
+    )(H_bm, g_bm)
+    x = jnp.transpose(x_bm, (1, 0))
+    return x[: x.shape[0] - pad] if pad else x
+
+
+@custom_batching.custom_vmap
+def chol_solve(H, g):
+    """x = H^-1 g for SPD H.  Unbatched: jnp Cholesky (exact parity with
+    the historical code path); vmapped on TPU f32: Pallas batch-minor
+    kernel; vmapped elsewhere: batched jnp Cholesky."""
+    L = jnp.linalg.cholesky(H)
+    return jax.scipy.linalg.cho_solve((L, True), g)
+
+
+@chol_solve.def_vmap
+def _chol_solve_vmap(axis_size, in_batched, H, g):
+    if not in_batched[0]:
+        H = jnp.broadcast_to(H, (axis_size,) + H.shape)
+    if not in_batched[1]:
+        g = jnp.broadcast_to(g, (axis_size,) + g.shape)
+    use_pallas = (H.dtype == jnp.float32
+                  and jax.default_backend() == "tpu")
+    if use_pallas:
+        x = _chol_solve_pallas(H, g)
+    else:
+        L = jnp.linalg.cholesky(H)
+        x = jax.scipy.linalg.cho_solve((L, True), g)
+    return x, True

@@ -60,8 +60,8 @@ def forward_core(m: Model, qpos, qvel, ctrl, qacc_warmstart,
 
     qfrc_smooth = act.qfrc_actuator + qfrc_passive + qfrc_applied \
         - qfrc_bias
-    qacc_smooth = jax.scipy.linalg.cho_solve(
-        (jnp.linalg.cholesky(M), True), qfrc_smooth)
+    from .kernels import chol_solve
+    qacc_smooth = chol_solve(M, qfrc_smooth)
 
     contact_full, contacts = C.collide(m, kin, _ncmax(s))
     rows = CN.make_rows(m, kin, qpos, qvel, contacts)
@@ -217,8 +217,8 @@ def step(m: Model, d: Data, ctrl: jnp.ndarray) -> Data:
     # force, where the passive force already contains -B qvel.
     qfrc_total = out.M @ out.qacc
     MhB = out.M + h * jnp.diag(m.dof_damping)
-    qacc_imp = jax.scipy.linalg.cho_solve(
-        (jnp.linalg.cholesky(MhB), True), qfrc_total)
+    from .kernels import chol_solve
+    qacc_imp = chol_solve(MhB, qfrc_total)
 
     qvel_new = d.qvel + h * qacc_imp
     qpos_new = d.qpos + h * qvel_new

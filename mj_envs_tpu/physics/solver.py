@@ -94,50 +94,28 @@ def newton_solve(M: jnp.ndarray, qacc_smooth: jnp.ndarray, rows: Rows,
         # but f32 roundoff can push it indefinite in near-singular states
         # — scale the guard with the diagonal and the dtype epsilon).
         lm = 10.0 * jnp.finfo(qacc.dtype).eps * jnp.mean(jnp.diag(H))
-        L = jnp.linalg.cholesky(H + lm * eye)
-        p = -jax.scipy.linalg.cho_solve((L, True), grad)
+        # SPD solve dispatches through kernels.chol_solve: plain
+        # Cholesky+cho_solve unbatched (f64 parity bits unchanged) and
+        # on CPU; a Pallas batch-minor factorization on TPU f32 under
+        # vmap (tests/test_kernels.py checks elementwise equivalence).
+        from .kernels import chol_solve, linesearch_cached
+        p = -chol_solve(H + lm * eye, grad)
         # If the factorization still failed (NaN), fall back to a plain
         # diagonally-preconditioned gradient step so one bad state cannot
         # poison the trajectory with NaNs.
         p_ok = jnp.all(jnp.isfinite(p))
         p = jnp.where(p_ok, p, -grad / jnp.maximum(jnp.diag(H), 1e-8))
 
-        # Exact linesearch on the piecewise-quadratic phi(alpha).
+        # Exact linesearch on the piecewise-quadratic phi(alpha):
+        # 12 bracket-doubling + ls_iterations safeguarded-Newton steps,
+        # via kernels.linesearch_cached (same dispatch scheme — the
+        # unbatched path is op-for-op the historical inline search).
         Jp = rows.J @ p
         Mp = M @ p
         c1 = p @ (M @ (qacc - qacc_smooth))
         c2 = p @ Mp
-
-        def dphi(alpha):
-            jar_a = jar + alpha * Jp
-            f_a, quad_a = _forces(rows, jar_a)
-            return c1 + alpha * c2 - jnp.sum(f_a * Jp)
-
-        def ddphi(alpha):
-            jar_a = jar + alpha * Jp
-            _, quad_a = _forces(rows, jar_a)
-            return c2 + jnp.sum(jnp.where(quad_a, rows.D, 0.0) * Jp * Jp)
-
-        # Bracket: phi'(0) < 0 (descent); expand hi until phi'(hi) >= 0.
-        hi = jax.lax.fori_loop(
-            0, 12,
-            lambda _, h: jnp.where(dphi(h) < 0, h * 2.0, h),
-            jnp.asarray(1.0, dtype=qacc.dtype))
-        lo = jnp.asarray(0.0, dtype=qacc.dtype)
-
-        def ls_body(_, st):
-            lo, hi, alpha = st
-            d1 = dphi(alpha)
-            d2 = ddphi(alpha)
-            lo = jnp.where(d1 < 0, alpha, lo)
-            hi = jnp.where(d1 < 0, hi, alpha)
-            a_newton = alpha - d1 / jnp.maximum(d2, 1e-30)
-            inside = (a_newton > lo) & (a_newton < hi)
-            alpha = jnp.where(inside, a_newton, 0.5 * (lo + hi))
-            return (lo, hi, alpha)
-
-        lo, hi, alpha = jax.lax.fori_loop(
-            0, ls_iterations, ls_body, (lo, hi, jnp.minimum(hi, 1.0)))
+        alpha = linesearch_cached(12, ls_iterations)(
+            jar, Jp, rows.D, rows.floss, rows.active, c1, c2)
 
         qacc_new = qacc + alpha * p
         jar_new = jar + alpha * Jp
@@ -177,7 +155,15 @@ def noslip(M: jnp.ndarray, rows: Rows, res: SolveResult,
     nefc = rows.J.shape[0]
     dtype = M.dtype
 
-    Minv = jnp.linalg.inv(M)
+    # M^-1: plain inv on the f64 parity path (keeps the oracle-diffed
+    # trajectory bits stable), SPD Cholesky solve on f32 where inv's
+    # conditioning is the risk (VERDICT r1 hygiene item).
+    if dtype == jnp.float64:
+        Minv = jnp.linalg.inv(M)
+    else:
+        L_M = jnp.linalg.cholesky(M)
+        Minv = jax.scipy.linalg.cho_solve((L_M, True),
+                                          jnp.eye(nv, dtype=dtype))
 
     # Build the friction "update directions": one per dof-friction row and
     # one per (contact, friction-direction) facet pair.
@@ -223,25 +209,16 @@ def noslip(M: jnp.ndarray, rows: Rows, res: SolveResult,
     # Gauss-Seidel in residual form: carrying r = D qacc - b instead of
     # qacc makes each row update O(R) VPU work with no dynamic-slice of
     # (nv)-vectors, and hoists the qacc reconstruction to one matmul at
-    # the end.  A = D Minv D^T is built once on the MXU.
+    # the end.  A = D Minv D^T is built once on the MXU.  The sweep
+    # itself dispatches through kernels.make_noslip_sweep: lax.scan on
+    # the f64/CPU parity path, a Pallas VMEM-resident kernel on TPU f32
+    # under vmap (identical update order; tests/test_kernels.py).
+    from .kernels import noslip_sweep_cached
     A = MD @ D_all.T                                       # (R, R)
-    gate = live & (a_diag > 1e-12)
+    gate = (live & (a_diag > 1e-12)).astype(dtype)
     r0 = D_all @ res.qacc - b_all                          # (R,)
 
-    def row_update(carry, k):
-        r, u = carry
-        du = -r[k] / a_safe[k]
-        u_new = jnp.clip(u[k] + du, lo[k], hi[k])
-        du_act = jnp.where(gate[k], u_new - u[k], 0.0)
-        r = r + A[:, k] * du_act
-        u = u.at[k].add(du_act)
-        return (r, u), None
-
-    def sweep(carry, _):
-        carry, _ = jax.lax.scan(row_update, carry, jnp.arange(nR))
-        return carry, None
-
-    (r, u), _ = jax.lax.scan(sweep, (r0, u0), None, length=iterations)
+    u = noslip_sweep_cached(iterations)(A, a_safe, lo, hi, gate, r0, u0)
     qacc = res.qacc + Minv @ (D_all.T @ (u - u0))
 
     f_dof = u[:n_fric_dof]

@@ -235,7 +235,10 @@ def render(model: Model, geom_xpos, geom_xmat, cam: Camera,
     sky = jnp.asarray([0.2, 0.3, 0.4], jnp.float32)
     img = jnp.where(hit[..., None], best_rgb * shade[..., None],
                     sky[None, None, :])
-    return jnp.clip(img * 255.0, 0.0, 255.0)
+    # float32 [0, 255] like the reference observer output
+    # (`headless_observer.py:52` returns float), f32 for the TPU path
+    # even under an x64-enabled host process.
+    return jnp.clip(img * 255.0, 0.0, 255.0).astype(jnp.float32)
 
 
 def resize_half(img):

@@ -3,7 +3,8 @@
 
     python -m mj_envs_tpu.run configs/hammer_ppo.json ppo
 
-Policy types: ppo (native JAX PPO), dapg (evaluate the pretrained golden
+Policy types: ppo (native JAX PPO), npg (natural policy gradient / DAPG
+family), sac (soft actor-critic), dapg (evaluate the pretrained golden
 policy), planet (RSSM+CEM — pixel observations).
 """
 from __future__ import annotations
@@ -54,6 +55,12 @@ def main(argv):
         res = evaluate(None, jax.random.PRNGKey(config.seed), count=10)
         print(f"dapg eval: reward {res.total_rewards.mean():.1f} "
               f"success {res.success_rate:.1f}%")
+    elif policy_type == "npg":
+        from mj_envs_tpu.utils.train import train_npg_policy
+        train_npg_policy(config, env, out_dir)
+    elif policy_type == "sac":
+        from mj_envs_tpu.utils.train import train_sac_policy
+        train_sac_policy(config, env, out_dir)
     elif policy_type == "planet":
         from mj_envs_tpu.utils.train import train_planet_policy
         train_planet_policy(config, env, out_dir)

@@ -28,6 +28,9 @@ class EvalResult(NamedTuple):
     success_rate: float           # evaluate_success percentage
     goal_achieved: np.ndarray     # (count, T) bool
     obs: np.ndarray               # (count, T, obs_dim) — trajectories
+    qpos: np.ndarray              # (count, T, nq) — for offline replay /
+                                  #  worst-trajectory rendering
+    reward: np.ndarray            # (count, T) per-step rewards
 
 
 def make_evaluate(env: AdroitEnv, policy_apply: Callable,
@@ -47,22 +50,24 @@ def make_evaluate(env: AdroitEnv, policy_apply: Callable,
             k, ka = jax.random.split(k)
             action = policy_apply(params, st.obs, ka)
             st = v_step(st, action)
-            return (st, k), (st.obs, st.reward, st.goal_achieved, st.done)
+            return (st, k), (st.obs, st.reward, st.goal_achieved, st.done,
+                             st.data.qpos)
 
-        (_, _), (obs, rew, goal, done) = jax.lax.scan(
+        (_, _), (obs, rew, goal, done, qpos) = jax.lax.scan(
             step_fn, (state, keys[0]), None, length=episode_length)
-        return obs, rew, goal, done
+        return obs, rew, goal, done, qpos
 
     rollout_j = jax.jit(rollout)
 
     def evaluate(params, key, count: int = 10) -> EvalResult:
         keys = jax.random.split(key, count)
-        obs, rew, goal, done = rollout_j(params, keys)
+        obs, rew, goal, done, qpos = rollout_j(params, keys)
         # scan stacks time-first -> (T, count); transpose to (count, T).
         rew = np.asarray(rew).T
         goal = np.asarray(goal).T
         done = np.asarray(done).T
         obs = np.asarray(obs).transpose(1, 0, 2)
+        qpos = np.asarray(qpos).transpose(1, 0, 2)
         # Rewards stop accumulating after termination (pen drop), like the
         # reference's loop which breaks... the reference actually keeps
         # stepping (fixed length) — keep full sums for parity.
@@ -71,7 +76,7 @@ def make_evaluate(env: AdroitEnv, policy_apply: Callable,
         success_rate = env.evaluate_success(goal)
         return EvalResult(total_rewards=total, success_any=success_any,
                           success_rate=success_rate, goal_achieved=goal,
-                          obs=obs)
+                          obs=obs, qpos=qpos, reward=rew)
 
     return evaluate
 
@@ -82,3 +87,94 @@ def dapg_policy_apply(act_fn: Callable):
         del params, key
         return jnp.clip(jax.vmap(act_fn)(obs), -1.0, 1.0)
     return apply
+
+
+def main():
+    """Eval CLI — reference protocol (`mj_envs_vision/utils/eval.py:29-66`):
+    per-episode reseed `seed + ep`, `evaluate(count=10)` per episode,
+    worst-trajectory gif per episode, reward/success plots at the end.
+
+        python -m mj_envs_tpu.utils.eval --config_path cfg.json \
+            [--policy_type dapg] [--episodes 5] [--variation_type pos]
+
+    The reference saves `trajs[-1]` with a "select worst" comment
+    (`eval.py:60`) — here the actually-worst (lowest total reward)
+    trajectory is rendered, which is what that comment intends.
+    """
+    import os
+    import click
+
+    @click.command()
+    @click.option("--config_path", type=str, required=True)
+    @click.option("--policy_type", type=str, default="default",
+                  help="{default, dapg, ppo}")
+    @click.option("--variation_type", type=str, default=None)
+    @click.option("--episodes", type=int, default=5)
+    @click.option("--out", type=str, default=None)
+    def cli(config_path, policy_type, variation_type, episodes, out):
+        from mj_envs_tpu import envs
+        from mj_envs_tpu.utils.config import load_config
+        from mj_envs_tpu.utils import helpers as H
+        from mj_envs_tpu.visualize import render_state_trajectory
+
+        config = load_config(config_path, policy_type)
+        config.max_episodes = episodes
+        config.variation_type = variation_type
+        env = envs.make(config.env_name, variation_type=variation_type)
+        out_path = out or os.path.dirname(config.models_path) or "results"
+        os.makedirs(out_path, exist_ok=True)
+        model_name = (os.path.basename(config.models_path or "golden")
+                      .replace(".", "_") + "_var-"
+                      + (variation_type or "fixed"))
+        print(f"saving results to {out_path}")
+
+        task = config.env_name.replace("-v0", "")
+        if policy_type in ("default", "dapg"):
+            from mj_envs_tpu.algos import dapg
+            act_fn, _ = dapg.load_policy(task)
+            apply = dapg_policy_apply(act_fn)
+            params = None
+        elif policy_type == "ppo":
+            from mj_envs_tpu.algos import networks as N
+            from mj_envs_tpu.utils import checkpoint as CKPT
+            params0 = N.actor_critic_init(jax.random.PRNGKey(0),
+                                          env.OBS_DIM, env.nu, (64, 64))
+            tree = CKPT.restore(config.models_path,
+                                {"params": params0, "opt_state": None,
+                                 "key": None})
+            params = tree["params"]
+
+            def apply(params, obs, key):
+                mean, _, _ = N.actor_critic_apply(params, obs)
+                return jnp.clip(mean, -1.0, 1.0)
+        else:
+            raise SystemExit(f"unsupported policy_type {policy_type}")
+
+        evaluate = make_evaluate(env, apply, env.MAX_EPISODE_STEPS)
+        total_rewards, successes = [], []
+        for ep in range(episodes):
+            key = jax.random.PRNGKey(config.seed + ep)   # reseed seed+ep
+            res = evaluate(params, key, count=10)
+            total_rewards.append((ep, res.total_rewards))
+            successes.append((ep, res.success_any.astype(int)))
+            worst = int(np.argmin(res.total_rewards))
+            frames = render_state_trajectory(env, res.qpos[worst])
+            H.visualise_trajectory(ep, frames, out_path, prefix=model_name)
+            print(f"ep {ep}: reward {res.total_rewards.mean():.1f} "
+                  f"success {res.success_rate:.0f}% "
+                  f"(worst traj #{worst}: {res.total_rewards[worst]:.1f})")
+
+        H.save_rewards_plot(
+            total_rewards,
+            os.path.join(out_path, f"{model_name}_eval_rewards.png"),
+            "total rewards")
+        H.save_rewards_plot(
+            successes,
+            os.path.join(out_path, f"{model_name}_eval_success.png"),
+            "success rate")
+
+    cli()
+
+
+if __name__ == "__main__":
+    main()

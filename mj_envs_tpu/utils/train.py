@@ -30,13 +30,35 @@ PROF = True
 
 class Metrics:
     """Accumulating scalar metrics (reference `helpers.py:19-21`,
-    `baselines.py:89-104`), written as CSV."""
+    `baselines.py:89-104`), written as CSV and, when `tb_dir` is given,
+    streamed to TensorBoard event files (the reference routes its
+    `config.log_path` to SB3's `tensorboard_log`, `baselines.py:134`;
+    its own loops carry "TODO: dump metrics to tensorboard",
+    `train.py:72,129,150` — implemented here)."""
 
-    def __init__(self):
+    def __init__(self, tb_dir: Optional[str] = None):
         self.rows: List[Dict[str, float]] = []
+        self._tb = None
+        if tb_dir:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(log_dir=tb_dir)
+            except Exception as e:   # tensorboard optional at runtime
+                print(f"tensorboard writer unavailable: {e}")
 
     def append(self, **kw: float):
         self.rows.append({k: float(v) for k, v in kw.items()})
+        if self._tb is not None:
+            step = int(kw.get("episode", len(self.rows)))
+            for k, v in kw.items():
+                if k != "episode":
+                    self._tb.add_scalar(k, float(v), step)
+
+    def close(self):
+        if self._tb is not None:
+            self._tb.flush()
+            self._tb.close()
+            self._tb = None
 
     def save_csv(self, path: str):
         if not self.rows:
@@ -89,7 +111,7 @@ def train_ppo_policy(config, env: AdroitEnv, out_dir: Optional[str] = None):
 
     evaluate = make_evaluate(env, eval_policy, env.MAX_EPISODE_STEPS)
 
-    metrics = Metrics()
+    metrics = Metrics(tb_dir=out_dir)
     sps_hist = []
     for episode in range(1, config.max_episodes + 1):
         t0 = time.time()
@@ -119,7 +141,94 @@ def train_ppo_policy(config, env: AdroitEnv, out_dir: Optional[str] = None):
             CKPT.save(path, train_state)
 
     metrics.save_csv(os.path.join(out_dir, "metrics.csv"))
+    metrics.close()
     return train_state, metrics
+
+
+def _train_generic(config, env: AdroitEnv, out_dir: str, make_algo,
+                   eval_apply, name: str):
+    """Shared host loop for the NPG/SAC learners: jitted train_iter +
+    reference cadence (eval every test_interval, checkpoint every
+    checkpoint_interval) — same skeleton as train_ppo_policy."""
+    num_envs = config.num_envs
+    init_fn, train_iter_fn, act_fn = make_algo()
+
+    key = jax.random.PRNGKey(config.seed)
+    key, k_init, k_env, k_eval = jax.random.split(key, 4)
+    state = init_fn(k_init)
+    env_state = jax.jit(jax.vmap(env.reset))(
+        jax.random.split(k_env, num_envs))
+    step = jax.jit(train_iter_fn, donate_argnums=(0, 1))
+    evaluate = make_evaluate(env, eval_apply, env.MAX_EPISODE_STEPS)
+
+    metrics = Metrics(tb_dir=out_dir)
+    for episode in range(1, config.max_episodes + 1):
+        t0 = time.time()
+        state, env_state, m = step(state, env_state)
+        jax.block_until_ready(m["mean_reward"])
+        dt = time.time() - t0
+        metrics.append(episode=episode,
+                       **{k: float(v) for k, v in m.items()})
+        if PROF and (episode % 10 == 0 or episode == 1):
+            print(f"{name} ep {episode:5d} reward "
+                  f"{float(m['mean_reward']):8.3f} ({dt:.2f}s/it)",
+                  flush=True)
+        if episode % config.test_interval == 0:
+            res = evaluate(_algo_eval_params(state), k_eval, count=10)
+            metrics.append(episode=episode,
+                           eval_reward=res.total_rewards.mean(),
+                           eval_success=res.success_rate)
+            print(f"  eval: reward {res.total_rewards.mean():8.1f} "
+                  f"success {res.success_rate:5.1f}%", flush=True)
+        if episode % config.checkpoint_interval == 0:
+            CKPT.save(CKPT.checkpoint_path(out_dir, episode), state)
+
+    metrics.save_csv(os.path.join(out_dir, "metrics.csv"))
+    metrics.close()
+    return state, metrics
+
+
+def _algo_eval_params(state):
+    """Evaluation params of an NPG/SAC state (the actor pytree)."""
+    if hasattr(state, "actor"):
+        return state.actor
+    return state.params
+
+
+def train_npg_policy(config, env: AdroitEnv, out_dir: Optional[str] = None,
+                     demos=None):
+    """NPG/DAPG training (`algos/npg.py` — the learner family the
+    reference's pretrained Adroit experts came from)."""
+    from ..algos import npg as NPG
+    out_dir = out_dir or (config.log_path or "results")
+    cfg = NPG.NPGConfig(
+        n_steps=getattr(config, "n_steps", 64),
+        normalized_step_size=getattr(config, "normalized_step_size", 0.1),
+        gamma=getattr(config, "gamma", 0.995),
+        gae_lambda=getattr(config, "gae_lambda", 0.97))
+    make = lambda: NPG.make_npg(env, config.num_envs, cfg, demos=demos)
+
+    def eval_apply(params, obs, key):
+        mean = N.mlp_apply(params["actor"], obs)
+        return jax.numpy.clip(mean, -1.0, 1.0)
+
+    return _train_generic(config, env, out_dir, make, eval_apply, "npg")
+
+
+def train_sac_policy(config, env: AdroitEnv, out_dir: Optional[str] = None):
+    """SAC training (`algos/sac.py`)."""
+    from ..algos import sac as SAC
+    out_dir = out_dir or (config.log_path or "results")
+    cfg = SAC.SACConfig(
+        lr=config.learning_rate,
+        batch_size=getattr(config, "batch_size", 256) or 256)
+    make = lambda: SAC.make_sac(env, config.num_envs, cfg)
+
+    def eval_apply(actor, obs, key):
+        out = N.mlp_apply(actor, obs, activation=jax.nn.relu)
+        return jax.numpy.tanh(out[..., :env.nu])
+
+    return _train_generic(config, env, out_dir, make, eval_apply, "sac")
 
 
 def train_planet_policy(config, env, out_dir: Optional[str] = None):
@@ -212,7 +321,7 @@ def train_planet_policy(config, env, out_dir: Optional[str] = None):
             mem.append(pre_pixels, a, float(ps.state.reward),
                        bool(ps.state.done))
 
-    metrics = Metrics()
+    metrics = Metrics(tb_dir=out_dir)
     for episode in range(config.seed_episodes + 1,
                          config.max_episodes + 1):
         for it in range(config.sample_iters):
@@ -232,4 +341,5 @@ def train_planet_policy(config, env, out_dir: Optional[str] = None):
             CKPT.save(CKPT.checkpoint_path(out_dir, episode),
                       {"params": params, "opt_state": opt_state})
     metrics.save_csv(os.path.join(out_dir, "metrics.csv"))
+    metrics.close()
     return params, metrics

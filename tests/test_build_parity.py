@@ -163,3 +163,36 @@ def test_names(pair):
     ]:
         for name, idx in s.names[kind].items():
             assert mujoco.mj_name2id(om, objtype, name) == idx, (kind, name)
+
+
+def test_vendored_assets_build_identical():
+    """The vendored single-file XMLs (`mj_envs_tpu/assets/`, written by
+    tools/extract_assets.py) must build the exact same Model pytree as
+    the reference include-graph XMLs — the framework is self-contained
+    at runtime, with the reference needed only for oracle tests."""
+    import os
+    import jax
+    from mj_envs_tpu.mjcf import (builder, oracle,
+                                  task_xml_path, VENDORED_ASSETS)
+    for task in TASKS:
+        vendored = os.path.join(VENDORED_ASSETS, oracle.TASK_XML[task])
+        if not os.path.exists(vendored):
+            pytest.skip("vendored assets not extracted")
+        assert task_xml_path(task) == vendored
+        mv = builder.build_from_xml(vendored)
+        mr = builder.build_from_xml(oracle.task_xml_path(task))
+        lv, tv = jax.tree_util.tree_flatten(mv)
+        lr, tr = jax.tree_util.tree_flatten(mr)
+        # ModelSpec hashes by identity (jit-cache key), so the treedefs
+        # can't compare equal; compare the spec contents structurally.
+        assert len(lv) == len(lr)
+        sv, sr = mv.spec.__dict__, mr.spec.__dict__
+        assert set(sv) == set(sr)
+        for k in sv:
+            a, b = sv[k], sr[k]
+            if isinstance(a, np.ndarray):
+                np.testing.assert_array_equal(a, b, err_msg=f"spec.{k}")
+            else:
+                assert a == b, f"spec.{k}: {a!r} != {b!r}"
+        for a, b in zip(lv, lr):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

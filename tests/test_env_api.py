@@ -1,0 +1,76 @@
+"""Env API semantics that have no oracle counterpart: in-graph
+auto-reset (brax/gymnax convention — fresh obs after a boundary, terminal
+reward/done surfaced to the learner) and non-finite state quarantine
+(SURVEY §5 failure-detection row).
+"""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mj_envs_tpu import envs
+
+
+def _short_cap_env(task="hammer-v0", cap=3):
+    env = envs.make(task)
+    env.MAX_EPISODE_STEPS = cap   # instance attr shadows the class attr
+    return env
+
+
+def test_auto_reset_on_truncation():
+    """At the episode cap the returned state is the FRESH episode
+    (step_count 0, reset obs) while reward/done report the finishing
+    step."""
+    env = _short_cap_env(cap=2)
+    st = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    step = jax.jit(env.step_auto_reset)
+    a = jnp.zeros(env.nu)
+    st1 = step(st, a)
+    assert int(st1.step_count) == 1
+    st2 = step(st1, a)
+    # boundary: step_count hit 2 == cap -> restarted
+    assert int(st2.step_count) == 0
+    assert not bool(st2.done)          # hammer never terminates
+    # fresh obs: qvel-derived entries are zero again and obs matches a
+    # hand-rolled reset with the key the state carried.
+    fresh = jax.jit(env.reset)(st1.key)
+    np.testing.assert_allclose(np.asarray(st2.obs), np.asarray(fresh.obs),
+                               rtol=0, atol=0)
+
+
+def test_nan_quarantine():
+    """A poisoned (non-finite) physics state is auto-reset in one step:
+    finite fresh state out, reward zeroed, done=True, counter bumped."""
+    env = _short_cap_env(cap=200)
+    st = jax.jit(env.reset)(jax.random.PRNGKey(1))
+    bad = st.replace(data=st.data.replace(
+        qvel=st.data.qvel.at[0].set(jnp.nan)))
+    step = jax.jit(env.step_auto_reset)
+    out = step(bad, jnp.zeros(env.nu))
+    assert bool(out.done)
+    assert float(out.reward) == 0.0
+    assert int(out.nan_resets) == 1
+    assert np.all(np.isfinite(np.asarray(out.obs)))
+    assert np.all(np.isfinite(np.asarray(out.data.qpos)))
+    assert int(out.step_count) == 0
+    # and the quarantined env keeps stepping finitely afterwards
+    out2 = step(out, jnp.zeros(env.nu))
+    assert np.all(np.isfinite(np.asarray(out2.obs)))
+    assert int(out2.nan_resets) == 1
+
+
+def test_nan_quarantine_vmapped_isolation():
+    """Only the poisoned env in a batch restarts; neighbours keep their
+    trajectory."""
+    env = _short_cap_env(cap=200)
+    B = 4
+    st = jax.jit(jax.vmap(env.reset))(
+        jax.random.split(jax.random.PRNGKey(2), B))
+    qvel = st.data.qvel.at[1, 0].set(jnp.nan)
+    st = st.replace(data=st.data.replace(qvel=qvel))
+    out = jax.jit(jax.vmap(env.step_auto_reset))(
+        st, jnp.zeros((B, env.nu)))
+    nan_resets = np.asarray(out.nan_resets)
+    assert nan_resets.tolist() == [0, 1, 0, 0]
+    assert np.asarray(out.step_count).tolist() == [1, 0, 1, 1]
+    assert np.all(np.isfinite(np.asarray(out.obs)))

@@ -19,7 +19,7 @@ pytestmark = [requires_reference]
 
 
 @pytest.mark.parametrize("task,min_success", [
-    ("hammer", 0.5), ("relocate", 0.5)])
+    ("hammer", 0.5), ("relocate", 0.5), ("pen", 0.4)])
 def test_dapg_expert_succeeds(task, min_success):
     import jax
     from mj_envs_tpu import envs

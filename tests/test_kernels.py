@@ -1,0 +1,139 @@
+"""Pallas kernel equivalence tests (CPU interpret mode).
+
+The TPU noslip sweep kernel (`physics/kernels.py`) must produce the SAME
+update sequence as the `lax.scan` reference implementation it replaces
+(`solver.noslip`'s f64/CPU path) — Gauss-Seidel is order-sensitive, so
+elementwise f32 agreement is the contract.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mj_envs_tpu.physics import kernels as KR
+
+
+def _random_problem(key, B, R, dtype=jnp.float32):
+    ks = jax.random.split(key, 7)
+    # SPD-ish A with dominant diagonal (like D Minv D^T).
+    G = jax.random.normal(ks[0], (B, R, R), dtype)
+    A = jnp.einsum("bik,bjk->bij", G, G) / R + 2.0 * jnp.eye(R, dtype=dtype)
+    a_safe = jnp.maximum(jnp.einsum("bii->bi", A), 1e-3)
+    lo = -jax.random.uniform(ks[1], (B, R), dtype, 0.1, 2.0)
+    hi = jax.random.uniform(ks[2], (B, R), dtype, 0.1, 2.0)
+    gate = (jax.random.uniform(ks[3], (B, R)) > 0.25).astype(dtype)
+    r0 = jax.random.normal(ks[4], (B, R), dtype)
+    u0 = jnp.clip(jax.random.normal(ks[5], (B, R), dtype) * 0.1, lo, hi)
+    return A, a_safe, lo, hi, gate, r0, u0
+
+
+@pytest.mark.parametrize("B,R,iters", [(3, 7, 4), (65, 16, 3), (2, 118, 2)])
+def test_noslip_pallas_matches_scan(B, R, iters):
+    """Interpret-mode Pallas kernel vs per-env scan, elementwise."""
+    args = _random_problem(jax.random.PRNGKey(0), B, R)
+    want = jax.vmap(lambda *xs: KR._noslip_scan(*xs, iters))(*args)
+    KR._INTERPRET = True
+    try:
+        got = KR._noslip_pallas(*args, iters)
+    finally:
+        KR._INTERPRET = False
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_noslip_custom_vmap_dispatch():
+    """make_noslip_sweep: unbatched call runs the scan; vmapped call on a
+    non-TPU backend falls back to vmapped scan (same numbers)."""
+    iters = 3
+    sweep = KR.make_noslip_sweep(iters)
+    args = _random_problem(jax.random.PRNGKey(1), 4, 9)
+    single = [x[0] for x in args]
+    want1 = KR._noslip_scan(*single, iters)
+    got1 = sweep(*single)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(want1),
+                               rtol=1e-6, atol=1e-6)
+
+    wantB = jax.vmap(lambda *xs: KR._noslip_scan(*xs, iters))(*args)
+    gotB = jax.jit(jax.vmap(sweep))(*args)
+    np.testing.assert_allclose(np.asarray(gotB), np.asarray(wantB),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_noslip_sweep_cached_reuses():
+    assert KR.noslip_sweep_cached(5) is KR.noslip_sweep_cached(5)
+    assert KR.noslip_sweep_cached(5) is not KR.noslip_sweep_cached(6)
+
+
+def _random_ls_problem(key, B, R, dtype=jnp.float32):
+    ks = jax.random.split(key, 7)
+    jar = jax.random.normal(ks[0], (B, R), dtype)
+    Jp = jax.random.normal(ks[1], (B, R), dtype)
+    D = jax.random.uniform(ks[2], (B, R), dtype, 0.1, 10.0)
+    floss = jnp.where(jax.random.uniform(ks[3], (B, R)) > 0.7,
+                      jax.random.uniform(ks[4], (B, R), dtype, 0.1, 3.0),
+                      0.0)
+    active = jax.random.uniform(ks[5], (B, R)) > 0.2
+    # descent-direction c1 < 0 so the search has work to do
+    c1 = -jax.random.uniform(ks[6], (B,), dtype, 0.1, 5.0)
+    c2 = jax.random.uniform(ks[0], (B,), dtype, 0.5, 5.0)
+    return jar, Jp, D, floss, active, c1, c2
+
+
+@pytest.mark.parametrize("B,R", [(3, 7), (130, 37), (64, 118)])
+def test_linesearch_pallas_matches_ref(B, R):
+    args = _random_ls_problem(jax.random.PRNGKey(0), B, R)
+    want = jax.vmap(lambda *xs: KR._linesearch_ref(*xs, 12, 16))(*args)
+    KR._INTERPRET = True
+    try:
+        got = KR._linesearch_pallas(*args, 12, 16)
+    finally:
+        KR._INTERPRET = False
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_linesearch_custom_vmap_dispatch():
+    search = KR.make_linesearch(12, 16)
+    args = _random_ls_problem(jax.random.PRNGKey(1), 4, 9)
+    single = [x[0] for x in args]
+    want1 = KR._linesearch_ref(*single, 12, 16)
+    got1 = search(*single)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(want1),
+                               rtol=1e-6)
+    wantB = jax.vmap(lambda *xs: KR._linesearch_ref(*xs, 12, 16))(*args)
+    gotB = jax.jit(jax.vmap(search))(*args)
+    np.testing.assert_allclose(np.asarray(gotB), np.asarray(wantB),
+                               rtol=1e-6)
+
+
+@pytest.mark.parametrize("B,nv", [(2, 5), (130, 33), (64, 36)])
+def test_chol_solve_pallas_matches_dense(B, nv):
+    ks = jax.random.split(jax.random.PRNGKey(2), 2)
+    G = jax.random.normal(ks[0], (B, nv, nv), jnp.float32)
+    H = jnp.einsum("bik,bjk->bij", G, G) / nv \
+        + 2.0 * jnp.eye(nv, dtype=jnp.float32)
+    g = jax.random.normal(ks[1], (B, nv), jnp.float32)
+    want = jnp.linalg.solve(H, g[..., None])[..., 0]
+    KR._INTERPRET = True
+    try:
+        got = KR._chol_solve_pallas(H, g)
+    finally:
+        KR._INTERPRET = False
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_chol_solve_custom_vmap_dispatch():
+    ks = jax.random.split(jax.random.PRNGKey(3), 2)
+    B, nv = 6, 8
+    G = jax.random.normal(ks[0], (B, nv, nv))
+    H = jnp.einsum("bik,bjk->bij", G, G) / nv + 2.0 * jnp.eye(nv)
+    g = jax.random.normal(ks[1], (B, nv))
+    want = jnp.linalg.solve(H, g[..., None])[..., 0]
+    got1 = KR.chol_solve(H[0], g[0])          # unbatched path
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(want[0]),
+                               rtol=1e-6, atol=1e-9)
+    gotB = jax.jit(jax.vmap(KR.chol_solve))(H, g)   # CPU fallback path
+    np.testing.assert_allclose(np.asarray(gotB), np.asarray(want),
+                               rtol=1e-6, atol=1e-9)
