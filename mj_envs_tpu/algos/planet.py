@@ -116,7 +116,9 @@ def _gru(p, h, x):
 
 def encoder(params, obs):
     """obs (..., 64, 64, 3) in [-0.5, 0.5] -> (..., embedding_size)."""
-    x = obs
+    # Cast to the parameter dtype: under an x64-enabled host process the
+    # rendered/replayed obs arrive f64 while conv weights are f32.
+    x = obs.astype(params["enc"][0]["w"].dtype)
     batch_shape = x.shape[:-3]
     x = x.reshape((-1,) + x.shape[-3:])
     for c in params["enc"]:
@@ -231,6 +233,10 @@ def make_planet(cfg: PlanetConfig):
                            kl_loss=kl_loss)
 
     def update_fn(params, opt_state, key, batch):
+        # Batches may arrive f64 from an x64-enabled host (replay stores
+        # numpy); the model trains in the parameter dtype.
+        pdt = jax.tree_util.tree_leaves(params)[0].dtype
+        batch = {k: jnp.asarray(v, pdt) for k, v in batch.items()}
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, key, batch["obs"], batch["actions"],
             batch["rewards"], batch["nonterminals"])

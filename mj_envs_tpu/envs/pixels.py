@@ -13,7 +13,8 @@ Reference quirks preserved (they are deterministic and observable):
   body is index -1 (the last body); door/pen/relocate pass their
   pre-resolution id 0 (world) (`hammer_v0.py:34-42` vs `door_v0.py:41`,
   `relocate_v0.py:31-38`, SURVEY.md §2.7d note).
-* the lookat target of the free camera is the model's stat center;
+* the lookat target of the free camera is mujoco-py's
+  MjRenderContext._init_camera median-of-geom-positions (see ctor);
   elevation = -45 + deg(arccos(lookat_x / lookat_z)) / 2.
 """
 from __future__ import annotations
@@ -43,36 +44,20 @@ class PixelObservationEnv:
         self.height = height
         self.width = width
         s = env.spec
-        # Model stat center: mujoco mj_setConst's mjStatistic.center —
-        # the midpoint of the bounding box over geom bounding SPHERES
-        # (geom_rbound) at qpos0, planes excluded (rbound 0).  This is
-        # the default free-camera lookat that mujoco-py's offscreen
-        # render context starts from, which the reference never changes
-        # (`headless_observer.py:26-31` only sets az/el/dist) — verified
-        # equal to the oracle's mm.stat.center in tests/test_vision.py.
+        # Free-camera lookat: mujoco-py's MjRenderContext._init_camera
+        # sets `cam.lookat[i] = median(sim.data.geom_xpos[:, i])` — the
+        # per-axis MEDIAN of geom positions when the offscreen context is
+        # created (NOT mjStatistic.center: hammer's 10x10 occluder wall
+        # at y=5 drags the bbox-midpoint to y=5, which would point the
+        # camera at the wall; the median rejects it).  The reference's
+        # HeadlessObserver then only changes az/el/dist
+        # (`headless_observer.py:26-31`), so the median lookat persists.
         import mj_envs_tpu.physics.kinematics as K
-        from mj_envs_tpu.physics.model import (GEOM_PLANE, GEOM_SPHERE,
-                                               GEOM_CAPSULE, GEOM_CYLINDER,
-                                               GEOM_BOX)
         # jit: run eagerly the unrolled kinematics is hundreds of tiny
         # dispatches — minutes through the axon TPU tunnel.
         kin = jax.jit(K.kinematics)(env.model, env.model.qpos0)
         gx = np.asarray(kin.geom_xpos)
-        gt = np.asarray(s.geom_type)
-        size = np.asarray(env.model.geom_size)
-        rbound = np.zeros(s.ngeom)
-        rbound[gt == GEOM_SPHERE] = size[gt == GEOM_SPHERE, 0]
-        rbound[gt == GEOM_CAPSULE] = (size[gt == GEOM_CAPSULE, 0]
-                                      + size[gt == GEOM_CAPSULE, 1])
-        rbound[gt == GEOM_CYLINDER] = np.sqrt(
-            size[gt == GEOM_CYLINDER, 0] ** 2
-            + size[gt == GEOM_CYLINDER, 1] ** 2)
-        rbound[gt == GEOM_BOX] = np.linalg.norm(size[gt == GEOM_BOX],
-                                                axis=1)
-        keep = gt != GEOM_PLANE
-        lo = (gx[keep] - rbound[keep, None]).min(axis=0)
-        hi = (gx[keep] + rbound[keep, None]).max(axis=0)
-        self.stat_center = 0.5 * (lo + hi)
+        self.stat_center = np.median(gx, axis=0)
 
         # Reference lookat body for the elevation formula.
         self.lookat_bid = (s.nbody - 1 if env.TASK == "hammer" else 0)

@@ -22,8 +22,15 @@ def test_npg_fisher_cg_matches_dense():
     from mj_envs_tpu.algos import npg as NPG
     import jax.flatten_util
 
-    cfg = NPG.NPGConfig(hidden=(4,), cg_iters=60, cg_damping=1e-6)
+    # Damping keeps the Fisher's condition number modest — this checks
+    # the CG/Fisher-vector-product plumbing, not extreme conditioning
+    # (the near-null directions of a tiny random policy put the
+    # undamped solve at cond ~1e12, where even f64 CG wobbles ~5%).
+    cfg = NPG.NPGConfig(hidden=(4,), cg_iters=80, cg_damping=1e-3)
     params = NPG._policy_init(jax.random.PRNGKey(0), 5, 2, cfg)
+    # f64 end-to-end (the test env enables x64; params init f32)
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float64), params)
     obs = jax.random.normal(jax.random.PRNGKey(1), (32, 5))
 
     flat0, unravel = jax.flatten_util.ravel_pytree(params)

@@ -76,6 +76,7 @@ def test_trajectory_parity_50(task):
     rng = np.random.default_rng(0)
 
     worst_q = worst_v = 0.0
+    max_ncon = 0
     for t in range(50):
         ctrl = rng.uniform(-1.0, 1.0, mm.nu)
         md.ctrl[:] = ctrl
@@ -85,6 +86,14 @@ def test_trajectory_parity_50(task):
                                                    - md.qpos))))
         worst_v = max(worst_v, float(np.max(np.abs(np.asarray(d.qvel)
                                                    - md.qvel))))
+        max_ncon = max(max_ncon, int(d.ncon_active))
+    # Contact-cap overflow is silent in compact() — make it loud here
+    # (ncon_active counts in-margin contacts BEFORE compaction; the
+    # solver keeps at most pipeline._ncmax slots).
+    from mj_envs_tpu.physics.pipeline import _ncmax
+    assert max_ncon <= _ncmax(m.spec), (
+        f"{task}: {max_ncon} in-margin contacts exceeds the active cap "
+        f"{_ncmax(m.spec)} — compact() dropped contacts silently")
     assert worst_q < TRAJ_QPOS[task], f"{task}: qpos drift {worst_q}"
     assert worst_v < TRAJ_QVEL[task], f"{task}: qvel drift {worst_v}"
 
