@@ -22,16 +22,23 @@ pytestmark = [requires_mujoco, requires_reference]
 
 TASKS = ["hammer", "door", "pen", "relocate"]
 
-# Calibrated per-task bounds (~10x observed worst error, see module
+# Calibrated per-task bounds (~4-10x observed worst error, see module
 # docstring).  door/relocate rollouts are bit-exact for 50 steps under
 # seed 0 (no convex-CCD contacts); hammer rests on cylinder/capsule-box
-# contacts (oracle EPA noise ~1e-9 dist, ~1e-3 normal); pen is in-hand
-# with oracle duplicate-contact clusters (3 identical rows for one
-# geometric contact — mujoco 3.10 native-CCD behavior the real
-# mujoco-py 2.1 reference did not have), the dominant remaining gap.
-TRAJ_QPOS = {"hammer": 5e-5, "door": 1e-9, "pen": 3e-2, "relocate": 1e-9}
-TRAJ_QVEL = {"hammer": 2e-3, "door": 1e-9, "pen": 1.5, "relocate": 1e-9}
-RESYNC_QVEL = {"hammer": 1e-3, "door": 1e-9, "pen": 0.5, "relocate": 1e-9}
+# contacts (oracle EPA noise ~1e-9 dist, ~1e-3 normal).
+#
+# pen (in-hand, many convex contacts) — isolation experiment
+# (tools/pen_parity_probe.py, seed 0, 50 steps): our engine vs the
+# mujoco-3.10 native-CCD oracle drifts 2.7e-3 qpos / 0.13 qvel, while
+# the SAME oracle with <flag nativeccd="disable"/> (the legacy
+# libccd/MPR narrowphase — what mujoco-py 2.1 shipped) drifts 1.6e-2 /
+# 0.46 against its native-CCD self.  Our engine is ~6x closer to the
+# test oracle than the oracle's own two narrowphase modes are to each
+# other: the remaining pen gap is engine-version contact noise, not
+# model error.
+TRAJ_QPOS = {"hammer": 5e-5, "door": 1e-9, "pen": 1e-2, "relocate": 1e-9}
+TRAJ_QVEL = {"hammer": 2e-3, "door": 1e-9, "pen": 0.5, "relocate": 1e-9}
+RESYNC_QVEL = {"hammer": 1e-3, "door": 1e-9, "pen": 0.3, "relocate": 1e-9}
 
 
 import functools
