@@ -15,6 +15,12 @@ rendered; the hand is drawn from its collision primitives instead.
 
 Everything is jit/vmap-friendly: static geom count, no data-dependent
 shapes; images batch over envs with one vmap.
+
+Mesh geoms are supported through `render(..., meshes=MeshInstances)`
+(triangle closest-hit, `render/mesh.py`); the four shipped tasks pass
+none because the Adroit STLs are absent from the snapshot (broken
+submodule — SURVEY.md §2.9) and the hand is drawn from its collision
+primitives instead.
 """
 from __future__ import annotations
 
@@ -180,9 +186,19 @@ _HITS = {GEOM_PLANE: _hit_plane, GEOM_SPHERE: _hit_sphere,
          GEOM_BOX: _hit_box}
 
 
+class MeshInstances(NamedTuple):
+    """Posed mesh geoms for `render` (see `render/mesh.py`)."""
+    bank: "object"            # mesh.MeshBank
+    meshid: np.ndarray        # (Gm,) static mesh index per instance
+    pos: jnp.ndarray          # (Gm, 3) world position
+    mat: jnp.ndarray          # (Gm, 3, 3) world orientation
+    rgba: jnp.ndarray         # (Gm, 4)
+
+
 def render(model: Model, geom_xpos, geom_xmat, cam: Camera,
            height: int = 128, width: int = 128,
-           light_dir=(0.0, 0.0, -1.0), ambient: float = 0.35):
+           light_dir=(0.0, 0.0, -1.0), ambient: float = 0.35,
+           meshes: "MeshInstances | None" = None):
     """-> (height, width, 3) float32 in [0, 255] (the reference's
     HeadlessObserver returns float [0,255] images, `:52`)."""
     s = model.spec
@@ -224,6 +240,32 @@ def render(model: Model, geom_xpos, geom_xmat, cam: Camera,
         n_w = jnp.einsum("hwj,hwij->hwi",
                          n_l, mat[gi].astype(jnp.float32))
         rgb = rgba[gi][..., :3]
+        upd = t_grp < best_t
+        best_rgb = jnp.where(upd[..., None], rgb, best_rgb)
+        best_n = jnp.where(upd[..., None], n_w, best_n)
+        best_t = jnp.where(upd, t_grp, best_t)
+
+    if meshes is not None:
+        from .mesh import hit_mesh
+        tris_all = meshes.bank.tris[np.asarray(meshes.meshid)]
+
+        def one_mesh(p, R, tris):
+            o_l = R.T @ (o_w - p)
+            d_l = dirs @ R
+            o_l = jnp.broadcast_to(o_l, dirs.shape)
+            return hit_mesh(o_l, d_l, tris)
+
+        ts, ns_l = jax.vmap(one_mesh)(
+            meshes.pos.astype(jnp.float32),
+            meshes.mat.astype(jnp.float32), tris_all)
+        visible = meshes.rgba[:, 3] > 0.05
+        ts = jnp.where(visible[:, None, None], ts, BIG)
+        gi = jnp.argmin(ts, axis=0)
+        t_grp = jnp.min(ts, axis=0)
+        n_l = jnp.take_along_axis(ns_l, gi[None, ..., None], 0)[0]
+        n_w = jnp.einsum("hwj,hwij->hwi", n_l,
+                         meshes.mat[gi].astype(jnp.float32))
+        rgb = meshes.rgba[gi][..., :3]
         upd = t_grp < best_t
         best_rgb = jnp.where(upd[..., None], rgb, best_rgb)
         best_n = jnp.where(upd[..., None], n_w, best_n)

@@ -20,6 +20,13 @@ def main(argv):
     from mj_envs_tpu import envs
     from mj_envs_tpu.utils.config import load_config, PPOConfig
 
+    # Debug mode (SURVEY §5 sanitizer row): jax_debug_nans makes any
+    # NaN-producing op under jit raise with a traceback instead of the
+    # in-graph quarantine silently absorbing it (envs/base.py
+    # step_auto_reset) — use for root-causing solver blow-ups.
+    if os.environ.get("MJE_DEBUG_NANS", "") not in ("", "0"):
+        jax.config.update("jax_debug_nans", True)
+
     config_path = argv[1] if len(argv) > 1 else None
     policy_type = argv[2] if len(argv) > 2 else "ppo"
 

@@ -28,6 +28,32 @@ from .eval import make_evaluate
 PROF = True
 
 
+class ProfilerHook:
+    """`jax.profiler` trace over a window of training episodes (SURVEY
+    §5 tracing row — the reference only has PROF wall-clock brackets,
+    `mj_envs_vision/utils/train.py:20,53-64`).  Enabled by setting
+    MJE_PROFILE_DIR; traces episodes 2..3 so the capture shows
+    steady-state device work rather than the episode-1 XLA compile.
+    View with TensorBoard's profile plugin or xprof."""
+
+    START_EP, STOP_EP = 2, 3
+
+    def __init__(self):
+        self.dir = os.environ.get("MJE_PROFILE_DIR", "")
+        self.active = False
+
+    def before(self, episode: int):
+        if self.dir and not self.active and episode == self.START_EP:
+            jax.profiler.start_trace(self.dir)
+            self.active = True
+
+    def after(self, episode: int):
+        if self.active and episode >= self.STOP_EP:
+            jax.profiler.stop_trace()
+            self.active = False
+            print(f"profiler trace written to {self.dir}", flush=True)
+
+
 class Metrics:
     """Accumulating scalar metrics (reference `helpers.py:19-21`,
     `baselines.py:89-104`), written as CSV and, when `tb_dir` is given,
@@ -112,12 +138,15 @@ def train_ppo_policy(config, env: AdroitEnv, out_dir: Optional[str] = None):
     evaluate = make_evaluate(env, eval_policy, env.MAX_EPISODE_STEPS)
 
     metrics = Metrics(tb_dir=out_dir)
+    prof = ProfilerHook()
     sps_hist = []
     for episode in range(1, config.max_episodes + 1):
+        prof.before(episode)
         t0 = time.time()
         train_state, env_state, m = step(train_state, env_state)
         jax.block_until_ready(m["mean_reward"])
         dt = time.time() - t0
+        prof.after(episode)
         env_steps = cfg.n_steps * num_envs
         sps_hist.append(env_steps / dt)
         metrics.append(episode=episode, steps_per_s=env_steps / dt,
@@ -162,11 +191,14 @@ def _train_generic(config, env: AdroitEnv, out_dir: str, make_algo,
     evaluate = make_evaluate(env, eval_apply, env.MAX_EPISODE_STEPS)
 
     metrics = Metrics(tb_dir=out_dir)
+    prof = ProfilerHook()
     for episode in range(1, config.max_episodes + 1):
+        prof.before(episode)
         t0 = time.time()
         state, env_state, m = step(state, env_state)
         jax.block_until_ready(m["mean_reward"])
         dt = time.time() - t0
+        prof.after(episode)
         metrics.append(episode=episode,
                        **{k: float(v) for k, v in m.items()})
         if PROF and (episode % 10 == 0 or episode == 1):
@@ -322,8 +354,10 @@ def train_planet_policy(config, env, out_dir: Optional[str] = None):
                        bool(ps.state.done))
 
     metrics = Metrics(tb_dir=out_dir)
+    prof = ProfilerHook()
     for episode in range(config.seed_episodes + 1,
                          config.max_episodes + 1):
+        prof.before(episode)
         for it in range(config.sample_iters):
             key, ku = jax.random.split(key)
             batch = {k: jnp.asarray(v) for k, v in
@@ -331,6 +365,7 @@ def train_planet_policy(config, env, out_dir: Optional[str] = None):
                                 config.chunk_size).items()}
             params, opt_state, m = update_j(params, opt_state, ku, batch)
         key, total_r = collect(params, key, config.action_noise)
+        prof.after(episode)
         metrics.append(episode=episode, reward=total_r,
                        **{k: float(v) for k, v in m.items()})
         if PROF:

@@ -188,3 +188,82 @@ def test_images_to_observation_matches_replay_chain():
     q = quantize_obs(img, 5)
     ref = np.floor_divide(q.astype(np.float32), 2 ** 3) / 2 ** 5 - 0.5
     assert np.abs(ours - ref).max() < 1e-6
+
+
+def _write_cube_stl(path, half=1.0):
+    """Binary STL of an axis-aligned cube [-half, half]^3 (12 tris)."""
+    import struct
+    v = np.array([[sx, sy, sz] for sx in (-half, half)
+                  for sy in (-half, half) for sz in (-half, half)],
+                 np.float32)
+    # faces as vertex-index triples, outward winding per axis pair
+    quads = [(0, 1, 3, 2), (4, 6, 7, 5),    # x- x+
+             (0, 4, 5, 1), (2, 3, 7, 6),    # y- y+
+             (0, 2, 6, 4), (1, 5, 7, 3)]    # z- z+
+    tris = []
+    for a, b, c, d in quads:
+        tris += [(a, b, c), (a, c, d)]
+    with open(path, "wb") as f:
+        f.write(b"\0" * 80)
+        f.write(struct.pack("<I", len(tris)))
+        for t in tris:
+            f.write(struct.pack("<3f", 0, 0, 0))          # normal (unused)
+            for i in t:
+                f.write(struct.pack("<3f", *v[i]))
+            f.write(struct.pack("<H", 0))
+
+
+def test_mesh_render_matches_analytic_box(tmp_path):
+    """Mesh path (STL -> MeshBank -> Möller-Trumbore in render) must
+    reproduce the analytic box: hide a box geom in the hammer scene and
+    re-render with an identical cube mesh instance at the same pose.
+
+    This is the §2.9 capability test — the shipped tasks themselves use
+    no meshes because the Adroit STL submodule is broken upstream."""
+    import jax
+    import jax.numpy as jnp
+    from mj_envs_tpu import envs
+    from mj_envs_tpu.envs.pixels import PixelObservationEnv
+    from mj_envs_tpu.physics.model import GEOM_BOX
+    from mj_envs_tpu.render import raster
+    from mj_envs_tpu.render.mesh import load_stl, MeshBank
+
+    penv = PixelObservationEnv(envs.make("hammer-v0"))
+    env = penv.env
+    model = env.model
+    s = model.spec
+
+    # first visible box geom (the table top)
+    rgba = np.asarray(model.geom_rgba)
+    gids = [g for g in np.nonzero(np.asarray(s.geom_type) == GEOM_BOX)[0]
+            if rgba[g, 3] > 0.05]
+    assert gids, "hammer scene should contain a visible box"
+    g = int(gids[0])
+
+    st = env.reset(jax.random.PRNGKey(0))
+    xpos, xmat = st.data.geom_xpos, st.data.geom_xmat
+    cam = penv.camera
+
+    img_box = np.asarray(raster.render(model, xpos, xmat, cam, 128, 128))
+
+    # replace geom g with an equivalent unit-cube mesh scaled by its size
+    stl = tmp_path / "cube.stl"
+    _write_cube_stl(stl, half=1.0)
+    verts, faces = load_stl(str(stl))
+    assert faces.shape == (12, 3) and verts.shape == (8, 3)
+    size = np.asarray(model.geom_size)[g]
+    bank = MeshBank.pack([(verts * size[None, :], faces)])
+    inst = raster.MeshInstances(
+        bank=bank, meshid=np.array([0]),
+        pos=xpos[g][None], mat=xmat[g][None],
+        rgba=jnp.asarray(rgba[g][None]))
+
+    hidden = model.replace(geom_rgba=model.geom_rgba.at[g, 3].set(0.0))
+    img_mesh = np.asarray(raster.render(
+        hidden, xpos, xmat, cam, 128, 128, meshes=inst))
+
+    # identical geometry: images equal except argmin tie-break pixels
+    # at silhouette edges
+    diff = np.abs(img_box - img_mesh).max(axis=-1)
+    frac_off = (diff > 2.0).mean()
+    assert frac_off < 0.005, f"{frac_off:.4f} of pixels differ"
