@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from typing import Dict, List, Tuple
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -437,7 +439,63 @@ def build(spec: P.MjcfSpec, dtype=np.float64) -> Model:
     return _set_invweights(model)
 
 
+_INVWEIGHT_CACHE_VERSION = 1
+
+
+def _invweight_cache_path(model: Model) -> str:
+    """Disk-cache key for the invweights: a hash of every model quantity
+    they depend on (qpos0, body tree + inertial params, joint geometry,
+    tendon coefficients, topology) plus dtype and a version counter.
+
+    mj_setConst runs once per model; as a jitted XLA program it costs a
+    ~30 s fresh compile per process on hosts where the persistent
+    compile cache is off (see `mj_envs_tpu.enable_compilation_cache` —
+    XLA:CPU serialization crashes), which dominated `envs.make()`.
+    Caching the three tiny RESULT arrays instead of the program makes
+    make() sub-second everywhere and is dtype-exact."""
+    import hashlib
+    s = model.spec
+    h = hashlib.sha256()
+    h.update(str(_INVWEIGHT_CACHE_VERSION).encode())
+    h.update(str(model.qpos0.dtype).encode())
+    for a in (model.qpos0, model.body_pos, model.body_quat,
+              model.body_ipos, model.body_iquat, model.body_mass,
+              model.body_inertia, model.jnt_pos, model.jnt_axis,
+              model.ten_coef, model.dof_armature):
+        h.update(np.asarray(a).tobytes())
+    for a in (s.body_parentid, s.jnt_bodyid, s.jnt_type, s.jnt_qposadr):
+        h.update(np.asarray(a).tobytes())
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".jax_cache", "invweights")
+    return os.path.join(cache_dir, h.hexdigest()[:24] + ".npz")
+
+
 def _set_invweights(model: Model) -> Model:
+    import jax
+    path = _invweight_cache_path(model)
+    try:
+        with np.load(path) as z:
+            return model.replace(
+                dof_invweight0=jnp.asarray(z["dof"], model.qpos0.dtype),
+                body_invweight0=jnp.asarray(z["body"], model.qpos0.dtype),
+                ten_invweight0=jnp.asarray(z["ten"], model.qpos0.dtype))
+    except (OSError, KeyError):
+        pass
+    model = _set_invweights_jit(model)
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + f".{os.getpid()}.tmp.npz"   # np.savez keeps .npz names
+        np.savez(tmp, dof=np.asarray(model.dof_invweight0),
+                 body=np.asarray(model.body_invweight0),
+                 ten=np.asarray(model.ten_invweight0))
+        os.replace(tmp, path)        # atomic under concurrent builds
+    except OSError:
+        pass
+    return model
+
+
+def _set_invweights_jit(model: Model) -> Model:
     """Compute dof/body/tendon inverse weights at qpos0 (mj_setConst).
 
     Runs on the DEFAULT device on purpose: creating even one CPU-committed

@@ -132,6 +132,22 @@ def test_invweights(pair):
     _close(m.ten_invweight0, om.tendon_invweight0, 1e-8)
 
 
+def test_invweight_disk_cache_roundtrip(pair):
+    """The invweight disk cache (mj_setConst results keyed by model
+    content, builder._set_invweights) must hold exactly what the build
+    produced — a later cache-hit build then gets bit-identical values
+    (and test_invweights above gates them against the oracle)."""
+    import os
+    from mj_envs_tpu.mjcf import builder
+    m, _, _ = pair
+    path = builder._invweight_cache_path(m)
+    assert os.path.exists(path), "build should have written the cache"
+    with np.load(path) as z:
+        _close(m.dof_invweight0, z["dof"], 0)
+        _close(m.body_invweight0, z["body"], 0)
+        _close(m.ten_invweight0, z["ten"], 0)
+
+
 def test_explicit_pair_params(pair):
     m, om, _ = pair
     s = m.spec
