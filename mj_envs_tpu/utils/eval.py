@@ -89,19 +89,86 @@ def dapg_policy_apply(act_fn: Callable):
     return apply
 
 
-def main():
-    """Eval CLI — reference protocol (`mj_envs_vision/utils/eval.py:29-66`):
+def run_eval(config_path, policy_type="default", variation_type=None,
+             episodes=5, out=None):
+    """Eval protocol body (reference `mj_envs_vision/utils/eval.py:29-66`):
     per-episode reseed `seed + ep`, `evaluate(count=10)` per episode,
     worst-trajectory gif per episode, reward/success plots at the end.
-
-        python -m mj_envs_tpu.utils.eval --config_path cfg.json \
-            [--policy_type dapg] [--episodes 5] [--variation_type pos]
 
     The reference saves `trajs[-1]` with a "select worst" comment
     (`eval.py:60`) — here the actually-worst (lowest total reward)
     trajectory is rendered, which is what that comment intends.
     """
     import os
+    from mj_envs_tpu import envs
+    from mj_envs_tpu.utils.config import load_config
+    from mj_envs_tpu.utils import helpers as H
+    from mj_envs_tpu import visualize as V
+
+    config = load_config(config_path, policy_type)
+    config.max_episodes = episodes
+    config.variation_type = variation_type
+    env = envs.make(config.env_name, variation_type=variation_type)
+    out_path = out or os.path.dirname(config.models_path) or "results"
+    os.makedirs(out_path, exist_ok=True)
+    model_name = (os.path.basename(config.models_path or "golden")
+                  .replace(".", "_") + "_var-"
+                  + (variation_type or "fixed"))
+    print(f"saving results to {out_path}")
+
+    task = config.env_name.replace("-v0", "")
+    if policy_type in ("default", "dapg"):
+        from mj_envs_tpu.algos import dapg
+        act_fn, _ = dapg.load_policy(task)
+        apply = dapg_policy_apply(act_fn)
+        params = None
+    elif policy_type == "ppo":
+        from mj_envs_tpu.algos import networks as N
+        from mj_envs_tpu.utils import checkpoint as CKPT
+        params0 = N.actor_critic_init(jax.random.PRNGKey(0),
+                                      env.OBS_DIM, env.nu, (64, 64))
+        tree = CKPT.restore(config.models_path,
+                            {"params": params0, "opt_state": None,
+                             "key": None})
+        params = tree["params"]
+
+        def apply(params, obs, key):
+            mean, _, _ = N.actor_critic_apply(params, obs)
+            return jnp.clip(mean, -1.0, 1.0)
+    else:
+        raise SystemExit(f"unsupported policy_type {policy_type}")
+
+    evaluate = make_evaluate(env, apply, env.MAX_EPISODE_STEPS)
+    total_rewards, successes = [], []
+    for ep in range(episodes):
+        key = jax.random.PRNGKey(config.seed + ep)   # reseed seed+ep
+        res = evaluate(params, key, count=10)
+        total_rewards.append((ep, res.total_rewards))
+        successes.append((ep, res.success_any.astype(int)))
+        worst = int(np.argmin(res.total_rewards))
+        frames = V.render_state_trajectory(env, res.qpos[worst])
+        H.visualise_trajectory(ep, frames, out_path, prefix=model_name)
+        print(f"ep {ep}: reward {res.total_rewards.mean():.1f} "
+              f"success {res.success_rate:.0f}% "
+              f"(worst traj #{worst}: {res.total_rewards[worst]:.1f})")
+
+    H.save_rewards_plot(
+        total_rewards,
+        os.path.join(out_path, f"{model_name}_eval_rewards.png"),
+        "total rewards")
+    H.save_rewards_plot(
+        successes,
+        os.path.join(out_path, f"{model_name}_eval_success.png"),
+        "success rate")
+    return out_path, model_name
+
+
+def main():
+    """Click wrapper over `run_eval`:
+
+        python -m mj_envs_tpu.utils.eval --config_path cfg.json \
+            [--policy_type dapg] [--episodes 5] [--variation_type pos]
+    """
     import click
 
     @click.command()
@@ -112,66 +179,7 @@ def main():
     @click.option("--episodes", type=int, default=5)
     @click.option("--out", type=str, default=None)
     def cli(config_path, policy_type, variation_type, episodes, out):
-        from mj_envs_tpu import envs
-        from mj_envs_tpu.utils.config import load_config
-        from mj_envs_tpu.utils import helpers as H
-        from mj_envs_tpu.visualize import render_state_trajectory
-
-        config = load_config(config_path, policy_type)
-        config.max_episodes = episodes
-        config.variation_type = variation_type
-        env = envs.make(config.env_name, variation_type=variation_type)
-        out_path = out or os.path.dirname(config.models_path) or "results"
-        os.makedirs(out_path, exist_ok=True)
-        model_name = (os.path.basename(config.models_path or "golden")
-                      .replace(".", "_") + "_var-"
-                      + (variation_type or "fixed"))
-        print(f"saving results to {out_path}")
-
-        task = config.env_name.replace("-v0", "")
-        if policy_type in ("default", "dapg"):
-            from mj_envs_tpu.algos import dapg
-            act_fn, _ = dapg.load_policy(task)
-            apply = dapg_policy_apply(act_fn)
-            params = None
-        elif policy_type == "ppo":
-            from mj_envs_tpu.algos import networks as N
-            from mj_envs_tpu.utils import checkpoint as CKPT
-            params0 = N.actor_critic_init(jax.random.PRNGKey(0),
-                                          env.OBS_DIM, env.nu, (64, 64))
-            tree = CKPT.restore(config.models_path,
-                                {"params": params0, "opt_state": None,
-                                 "key": None})
-            params = tree["params"]
-
-            def apply(params, obs, key):
-                mean, _, _ = N.actor_critic_apply(params, obs)
-                return jnp.clip(mean, -1.0, 1.0)
-        else:
-            raise SystemExit(f"unsupported policy_type {policy_type}")
-
-        evaluate = make_evaluate(env, apply, env.MAX_EPISODE_STEPS)
-        total_rewards, successes = [], []
-        for ep in range(episodes):
-            key = jax.random.PRNGKey(config.seed + ep)   # reseed seed+ep
-            res = evaluate(params, key, count=10)
-            total_rewards.append((ep, res.total_rewards))
-            successes.append((ep, res.success_any.astype(int)))
-            worst = int(np.argmin(res.total_rewards))
-            frames = render_state_trajectory(env, res.qpos[worst])
-            H.visualise_trajectory(ep, frames, out_path, prefix=model_name)
-            print(f"ep {ep}: reward {res.total_rewards.mean():.1f} "
-                  f"success {res.success_rate:.0f}% "
-                  f"(worst traj #{worst}: {res.total_rewards[worst]:.1f})")
-
-        H.save_rewards_plot(
-            total_rewards,
-            os.path.join(out_path, f"{model_name}_eval_rewards.png"),
-            "total rewards")
-        H.save_rewards_plot(
-            successes,
-            os.path.join(out_path, f"{model_name}_eval_success.png"),
-            "success rate")
+        run_eval(config_path, policy_type, variation_type, episodes, out)
 
     cli()
 
