@@ -30,6 +30,25 @@ def test_config_save_saves_self(tmp_path):
     assert json.load(open(p))["seed"] == 1234
 
 
+def test_shipped_configs_load_clean(capsys):
+    """Every example config under configs/ loads through load_config for
+    its policy type with no unknown-key warnings, and names a registered
+    task (the `python -m mj_envs_tpu.run configs/... <type>` path)."""
+    from mj_envs_tpu.utils.config import load_config
+    from mj_envs_tpu import envs
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg_dir = os.path.join(repo, "configs")
+    files = sorted(f for f in os.listdir(cfg_dir) if f.endswith(".json"))
+    assert files, "no shipped configs found"
+    for fname in files:
+        policy_type = fname.rsplit("_", 1)[1][:-5]   # hammer_ppo.json -> ppo
+        cfg = load_config(os.path.join(cfg_dir, fname), policy_type)
+        out = capsys.readouterr().out
+        assert "No such config field" not in out, (fname, out)
+        assert cfg.env_name in envs._REGISTRY, (fname, cfg.env_name)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     import jax.numpy as jnp
     from mj_envs_tpu.utils import checkpoint as CKPT
