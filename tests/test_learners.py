@@ -177,3 +177,48 @@ def test_metrics_tensorboard_sink(tmp_path):
     assert (tmp_path / "metrics.csv").exists()
     evts = [f for f in os.listdir(tmp_path) if "tfevents" in f]
     assert evts, "no tensorboard event file written"
+
+
+@pytest.mark.slow
+def test_npg_and_sac_train_iter_sharded_mesh():
+    """BASELINE config #4 shape: env-axis-sharded rollout feeding the
+    NPG and SAC learners, one jitted train_iter over an 8-virtual-device
+    mesh.  Checks metrics are finite AND the post-step env state keeps
+    its env-axis sharding (layout regression guard, like
+    __graft_entry__.dryrun_multichip does for PPO)."""
+    from mj_envs_tpu.parallel import distributed as DIST
+    from mj_envs_tpu.algos import npg as NPG
+    from mj_envs_tpu.algos import sac as SAC
+
+    env = envs.make("hammer-v0")
+    mesh = DIST.make_mesh(model_axis=1)
+    shard = DIST.env_sharding(mesh)
+    num_envs = 8
+
+    def sharded_env_state(key):
+        keys = jax.device_put(jax.random.split(key, num_envs), shard)
+        st = jax.jit(jax.vmap(env.reset))(keys)
+        return jax.device_put(st, shard)
+
+    # --- NPG ---------------------------------------------------------
+    cfg = NPG.NPGConfig(n_steps=2, cg_iters=2, hidden=(8, 8))
+    init_fn, train_iter_fn, _ = NPG.make_npg(env, num_envs, cfg)
+    state = init_fn(jax.random.PRNGKey(0))
+    env_state = sharded_env_state(jax.random.PRNGKey(1))
+    state, env_state, m = jax.jit(train_iter_fn)(state, env_state)
+    for k, v in m.items():
+        assert np.isfinite(float(v)), ("npg", k, v)
+    assert "env" in str(env_state.data.qpos.sharding.spec)
+
+    # --- SAC ---------------------------------------------------------
+    scfg = SAC.SACConfig(hidden=(16, 16), buffer_size=64, batch_size=8,
+                         steps_per_iter=2, updates_per_iter=1,
+                         warmup_steps=0)
+    sinit, siter, _ = SAC.make_sac(env, num_envs, scfg)
+    sstate = sinit(jax.random.PRNGKey(2))
+    env_state = sharded_env_state(jax.random.PRNGKey(3))
+    sstate, env_state, sm = jax.jit(siter)(sstate, env_state)
+    sstate, env_state, sm = jax.jit(siter)(sstate, env_state)
+    for k, v in sm.items():
+        assert np.isfinite(float(v)), ("sac", k, v)
+    assert "env" in str(env_state.data.qpos.sharding.spec)
