@@ -342,6 +342,7 @@ def train_planet_policy(config, env, out_dir: Optional[str] = None):
 
     # Seed episodes (reference :112-123).
     rng = np.random.default_rng(config.seed)
+    t_seed = time.time()
     while mem.steps < max(config.batch_size, config.chunk_size) \
             or mem.episodes < config.seed_episodes:
         key, kr = jax.random.split(key)
@@ -352,6 +353,10 @@ def train_planet_policy(config, env, out_dir: Optional[str] = None):
             ps = step_j(ps, jnp.asarray(a))
             mem.append(pre_pixels, a, float(ps.state.reward),
                        bool(ps.state.done))
+    if PROF:
+        print(f"planet: replay seeded ({mem.steps} steps, "
+              f"{time.time() - t_seed:.0f}s incl. pixel-step compile)",
+              flush=True)
 
     metrics = Metrics(tb_dir=out_dir)
     prof = ProfilerHook()

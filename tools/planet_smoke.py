@@ -48,7 +48,10 @@ def main():
     config.test_interval = 100
     config.log_path = "/tmp/planet_smoke"
 
+    import time
+    t0 = time.time()
     env = envs.make(task)
+    print(f"planet_smoke: env built in {time.time() - t0:.1f}s", flush=True)
     params, metrics = train_planet_policy(config, env)
     last = metrics.rows[-1]
     print(json.dumps({"task": task, "episodes": config.max_episodes,
