@@ -335,8 +335,15 @@ def train_planet_policy(config, env, out_dir: Optional[str] = None):
                 a = jnp.clip(a + explore_noise * jax.random.uniform(
                     kn, a.shape), -1.0, 1.0)
             ps = step_j(ps, a[0])
+            # Episode boundary: the reference's PlaNet env wrapper sets
+            # done at max_episode_length (Kaixhin/PlaNet env.py; cloned
+            # at reference Dockerfile:92), so the last step of the
+            # fixed-length rollout is terminal — without it the replay's
+            # nonterminals never mark a boundary for the three
+            # non-terminating tasks and chunks would straddle resets.
+            done = bool(ps.state.done) or (t == T - 1)
             mem.append(np.asarray(pre_pixels), np.asarray(a[0]),
-                       float(ps.state.reward), bool(ps.state.done))
+                       float(ps.state.reward), done)
             total_r += float(ps.state.reward)
         return key, total_r
 
@@ -351,8 +358,12 @@ def train_planet_policy(config, env, out_dir: Optional[str] = None):
             a = rng.uniform(-1, 1, env.nu).astype(np.float32)
             pre_pixels = np.asarray(ps.pixels)   # pre-step obs (see above)
             ps = step_j(ps, jnp.asarray(a))
+            # Terminal at rollout end (see collect): hammer/door/relocate
+            # never set done themselves, so without this the seed loop's
+            # `mem.episodes < seed_episodes` condition NEVER becomes
+            # false — an infinite loop (found when the smoke hung >1 h).
             mem.append(pre_pixels, a, float(ps.state.reward),
-                       bool(ps.state.done))
+                       bool(ps.state.done) or t == T - 1)
     if PROF:
         print(f"planet: replay seeded ({mem.steps} steps, "
               f"{time.time() - t_seed:.0f}s incl. pixel-step compile)",
