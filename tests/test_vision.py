@@ -267,3 +267,27 @@ def test_mesh_render_matches_analytic_box(tmp_path):
     diff = np.abs(img_box - img_mesh).max(axis=-1)
     frac_off = (diff > 2.0).mean()
     assert frac_off < 0.005, f"{frac_off:.4f} of pixels differ"
+
+
+@pytest.mark.slow
+def test_planet_end_to_end_smoke_completes():
+    """The full PlaNet loop (seed -> replay -> RSSM updates -> CEM
+    collection) terminates and reports finite losses.  Regression guard
+    for the seed-loop hang: hammer never sets done, so episode
+    boundaries must be marked at rollout end or `mem.episodes` never
+    reaches seed_episodes (tools/planet_smoke.py timed out >1 h on
+    exactly this).  Runs as a subprocess with a hard timeout so a
+    reintroduced hang fails instead of wedging CI."""
+    import json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "planet_smoke.py")],
+        capture_output=True, text=True, cwd=repo, timeout=2400)
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    last = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    rec = json.loads(last)
+    assert rec["task"] == "hammer-v0"
+    assert all(np.isfinite(v) for v in rec["final"].values()), rec
