@@ -50,12 +50,20 @@ def enable_compilation_cache(path: str | None = None) -> None:
     # Platform tag from the environment (NOT jax.default_backend(), which
     # would initialize backends at import time).
     backend = _os.environ.get("JAX_PLATFORMS", "").split(",")[0] or "auto"
-    if backend not in ("axon", "tpu", "auto", "") and \
+    # 'auto' (JAX_PLATFORMS unset) is TPU only when the axon plugin's
+    # activation vars are present; on a plain CPU host 'auto' resolves
+    # to XLA:CPU and must NOT get the cache (the crash modes above).
+    resolved = backend
+    if backend in ("auto", ""):
+        axon_active = any(k.startswith(("PALLAS_AXON", "AXON_"))
+                          for k in _os.environ)
+        resolved = "axon" if axon_active else "cpu"
+    if resolved not in ("axon", "tpu") and \
             _os.environ.get("MJ_ENVS_TPU_CPU_CACHE", "0") != "1":
         return
     cache = path or _os.path.join(
         _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
-        ".jax_cache", f"{backend}-{_host_fingerprint()}")
+        ".jax_cache", f"{resolved}-{_host_fingerprint()}")
     _os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

@@ -231,8 +231,16 @@ def make_npg(env: AdroitEnv, num_envs: int, cfg: NPGConfig = NPGConfig(),
         mvp = lambda v: fisher_vp(state.params, flat.obs, v, unravel)
         npg_dir = conjugate_gradient(mvp, g_flat)
         quad = g_flat @ npg_dir
-        alpha = jnp.sqrt(
-            2.0 * cfg.normalized_step_size / jnp.maximum(quad, 1e-20))
+        # Non-positive curvature (CG on an ill-conditioned Fisher in f32
+        # can cancel g.F^-1 g to ~0 or below) would send the normalized
+        # step size to ~1e10 and destroy the policy in one update —
+        # mjrl's dense solve can't hit this, so guard: reject the step
+        # (alpha=0) instead of taking an unbounded one.
+        alpha = jnp.where(
+            quad > 1e-10,
+            jnp.sqrt(2.0 * cfg.normalized_step_size
+                     / jnp.maximum(quad, 1e-10)),
+            0.0)
         new_params = jax.tree_util.tree_map(
             lambda p, d: p + alpha * d, state.params, unravel(npg_dir))
 

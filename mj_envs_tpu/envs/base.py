@@ -210,7 +210,8 @@ class AdroitEnv:
         st = self.step(state, action)
         finite = (jnp.all(jnp.isfinite(st.data.qpos))
                   & jnp.all(jnp.isfinite(st.data.qvel))
-                  & jnp.all(jnp.isfinite(st.obs)))
+                  & jnp.all(jnp.isfinite(st.obs))
+                  & jnp.all(jnp.isfinite(st.reward)))
         trunc = st.step_count >= self.MAX_EPISODE_STEPS
         restart = st.done | trunc | ~finite
         fresh = self.reset(st.key)
@@ -219,11 +220,16 @@ class AdroitEnv:
             lambda a, b: jnp.where(restart, a, b), fresh, st)
         # Keep the finishing step's outward-facing reward/termination
         # fields; obs intentionally comes from new_core (fresh on
-        # restart, post-step otherwise).
+        # restart, post-step otherwise).  done reports EVERY episode
+        # boundary (termination, truncation, quarantine) — the brax
+        # AutoResetWrapper convention: since the returned obs is already
+        # the next episode's, a learner that bootstraps with
+        # (1 - done) * V(next_obs) would otherwise leak the fresh
+        # episode's value across the boundary (GAE deltas, SAC targets).
         return new_core.replace(
             reward=jnp.where(finite, st.reward,
                              jnp.zeros_like(st.reward)),
-            done=st.done | ~finite,
+            done=restart,
             goal_achieved=st.goal_achieved & finite,
             nan_resets=state.nan_resets + (~finite).astype(jnp.int32))
 

@@ -473,3 +473,39 @@ def _chol_solve_vmap(axis_size, in_batched, H, g):
         L = jnp.linalg.cholesky(H)
         x = jax.scipy.linalg.cho_solve((L, True), g)
     return x, True
+
+
+# -- probe-problem generators (shared by tests/test_kernels.py and
+#    tools/tpu_kernel_check.py so the hardware check exercises exactly
+#    the distributions the interpret-mode tests validate) ---------------
+
+def random_noslip_problem(key, B, R, dtype=jnp.float32):
+    """Random (A, a_safe, lo, hi, gate, r0, u0) noslip sweep inputs:
+    SPD-ish A with dominant diagonal (like D Minv D^T), box bounds,
+    ~75% active rows."""
+    ks = jax.random.split(key, 7)
+    G = jax.random.normal(ks[0], (B, R, R), dtype)
+    A = jnp.einsum("bik,bjk->bij", G, G) / R + 2.0 * jnp.eye(R, dtype=dtype)
+    a_safe = jnp.maximum(jnp.einsum("bii->bi", A), 1e-3)
+    lo = -jax.random.uniform(ks[1], (B, R), dtype, 0.1, 2.0)
+    hi = jax.random.uniform(ks[2], (B, R), dtype, 0.1, 2.0)
+    gate = (jax.random.uniform(ks[3], (B, R)) > 0.25).astype(dtype)
+    r0 = jax.random.normal(ks[4], (B, R), dtype)
+    u0 = jnp.clip(jax.random.normal(ks[5], (B, R), dtype) * 0.1, lo, hi)
+    return A, a_safe, lo, hi, gate, r0, u0
+
+
+def random_linesearch_problem(key, B, R, dtype=jnp.float32):
+    """Random (jar, Jp, D, floss, active, c1, c2) linesearch inputs with
+    a guaranteed descent direction (c1 < 0) and ~30% frictionloss rows."""
+    ks = jax.random.split(key, 7)
+    jar = jax.random.normal(ks[0], (B, R), dtype)
+    Jp = jax.random.normal(ks[1], (B, R), dtype)
+    D = jax.random.uniform(ks[2], (B, R), dtype, 0.1, 10.0)
+    floss = jnp.where(jax.random.uniform(ks[3], (B, R)) > 0.7,
+                      jax.random.uniform(ks[4], (B, R), dtype, 0.1, 3.0),
+                      0.0)
+    active = jax.random.uniform(ks[5], (B, R)) > 0.2
+    c1 = -jax.random.uniform(ks[6], (B,), dtype, 0.1, 5.0)
+    c2 = jax.random.uniform(ks[0], (B,), dtype, 0.5, 5.0)
+    return jar, Jp, D, floss, active, c1, c2

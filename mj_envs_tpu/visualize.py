@@ -70,7 +70,12 @@ def render_state_trajectory(env, qpos_traj, height: int = 128,
         return raster.render(env.model, kin.geom_xpos, kin.geom_xmat,
                              penv.camera, height=height, width=width)
 
-    frames = jax.jit(jax.vmap(frame))(jnp.asarray(qpos_traj))
+    # lax.map (sequential), NOT vmap: vmapping the ray-caster over all T
+    # frames at once multiplies every per-geom (H, W) hit buffer by T —
+    # GBs of XLA temporaries for a 200-step trajectory on a small host —
+    # and recompiles per distinct T.  Sequential mapping keeps peak
+    # memory at one frame; the offline gif path is not latency-critical.
+    frames = jax.jit(lambda q: jax.lax.map(frame, q))(jnp.asarray(qpos_traj))
     return [np.asarray(f) for f in frames]
 
 

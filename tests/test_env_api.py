@@ -19,18 +19,20 @@ def _short_cap_env(task="hammer-v0", cap=3):
 
 def test_auto_reset_on_truncation():
     """At the episode cap the returned state is the FRESH episode
-    (step_count 0, reset obs) while reward/done report the finishing
-    step."""
+    (step_count 0, reset obs), reward reports the finishing step, and
+    done marks the boundary (brax convention — the returned obs is the
+    next episode's, so bootstrap must be cut here)."""
     env = _short_cap_env(cap=2)
     st = jax.jit(env.reset)(jax.random.PRNGKey(0))
     step = jax.jit(env.step_auto_reset)
     a = jnp.zeros(env.nu)
     st1 = step(st, a)
     assert int(st1.step_count) == 1
+    assert not bool(st1.done)          # mid-episode: no boundary
     st2 = step(st1, a)
     # boundary: step_count hit 2 == cap -> restarted
     assert int(st2.step_count) == 0
-    assert not bool(st2.done)          # hammer never terminates
+    assert bool(st2.done)              # truncation boundary reported
     # fresh obs: qvel-derived entries are zero again and obs matches a
     # hand-rolled reset with the key the state carried.
     fresh = jax.jit(env.reset)(st1.key)

@@ -12,20 +12,12 @@ import jax
 import jax.numpy as jnp
 
 from mj_envs_tpu.physics import kernels as KR
-
-
-def _random_problem(key, B, R, dtype=jnp.float32):
-    ks = jax.random.split(key, 7)
-    # SPD-ish A with dominant diagonal (like D Minv D^T).
-    G = jax.random.normal(ks[0], (B, R, R), dtype)
-    A = jnp.einsum("bik,bjk->bij", G, G) / R + 2.0 * jnp.eye(R, dtype=dtype)
-    a_safe = jnp.maximum(jnp.einsum("bii->bi", A), 1e-3)
-    lo = -jax.random.uniform(ks[1], (B, R), dtype, 0.1, 2.0)
-    hi = jax.random.uniform(ks[2], (B, R), dtype, 0.1, 2.0)
-    gate = (jax.random.uniform(ks[3], (B, R)) > 0.25).astype(dtype)
-    r0 = jax.random.normal(ks[4], (B, R), dtype)
-    u0 = jnp.clip(jax.random.normal(ks[5], (B, R), dtype) * 0.1, lo, hi)
-    return A, a_safe, lo, hi, gate, r0, u0
+# shared with tools/tpu_kernel_check.py: the hardware check exercises
+# exactly the distributions these interpret-mode tests validate
+from mj_envs_tpu.physics.kernels import (random_linesearch_problem as
+                                         _random_ls_problem,
+                                         random_noslip_problem as
+                                         _random_problem)
 
 
 @pytest.mark.parametrize("B,R,iters", [(3, 7, 4), (65, 16, 3), (2, 118, 2)])
@@ -63,21 +55,6 @@ def test_noslip_custom_vmap_dispatch():
 def test_noslip_sweep_cached_reuses():
     assert KR.noslip_sweep_cached(5) is KR.noslip_sweep_cached(5)
     assert KR.noslip_sweep_cached(5) is not KR.noslip_sweep_cached(6)
-
-
-def _random_ls_problem(key, B, R, dtype=jnp.float32):
-    ks = jax.random.split(key, 7)
-    jar = jax.random.normal(ks[0], (B, R), dtype)
-    Jp = jax.random.normal(ks[1], (B, R), dtype)
-    D = jax.random.uniform(ks[2], (B, R), dtype, 0.1, 10.0)
-    floss = jnp.where(jax.random.uniform(ks[3], (B, R)) > 0.7,
-                      jax.random.uniform(ks[4], (B, R), dtype, 0.1, 3.0),
-                      0.0)
-    active = jax.random.uniform(ks[5], (B, R)) > 0.2
-    # descent-direction c1 < 0 so the search has work to do
-    c1 = -jax.random.uniform(ks[6], (B,), dtype, 0.1, 5.0)
-    c2 = jax.random.uniform(ks[0], (B,), dtype, 0.5, 5.0)
-    return jar, Jp, D, floss, active, c1, c2
 
 
 @pytest.mark.parametrize("B,R", [(3, 7), (130, 37), (64, 118)])

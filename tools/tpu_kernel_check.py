@@ -28,33 +28,8 @@ import jax
 import jax.numpy as jnp
 
 from mj_envs_tpu.physics import kernels as KR
-
-
-def _random_noslip_problem(key, B, R, dtype=jnp.float32):
-    ks = jax.random.split(key, 7)
-    G = jax.random.normal(ks[0], (B, R, R), dtype)
-    A = jnp.einsum("bik,bjk->bij", G, G) / R + 2.0 * jnp.eye(R, dtype=dtype)
-    a_safe = jnp.maximum(jnp.einsum("bii->bi", A), 1e-3)
-    lo = -jax.random.uniform(ks[1], (B, R), dtype, 0.1, 2.0)
-    hi = jax.random.uniform(ks[2], (B, R), dtype, 0.1, 2.0)
-    gate = (jax.random.uniform(ks[3], (B, R)) > 0.25).astype(dtype)
-    r0 = jax.random.normal(ks[4], (B, R), dtype)
-    u0 = jnp.clip(jax.random.normal(ks[5], (B, R), dtype) * 0.1, lo, hi)
-    return A, a_safe, lo, hi, gate, r0, u0
-
-
-def _random_ls_problem(key, B, R, dtype=jnp.float32):
-    ks = jax.random.split(key, 7)
-    jar = jax.random.normal(ks[0], (B, R), dtype)
-    Jp = jax.random.normal(ks[1], (B, R), dtype)
-    D = jax.random.uniform(ks[2], (B, R), dtype, 0.1, 10.0)
-    floss = jnp.where(jax.random.uniform(ks[3], (B, R)) > 0.7,
-                      jax.random.uniform(ks[4], (B, R), dtype, 0.1, 3.0),
-                      0.0)
-    active = jax.random.uniform(ks[5], (B, R)) > 0.2
-    c1 = -jax.random.uniform(ks[6], (B,), dtype, 0.1, 5.0)
-    c2 = jax.random.uniform(ks[0], (B,), dtype, 0.5, 5.0)
-    return jar, Jp, D, floss, active, c1, c2
+from mj_envs_tpu.physics.kernels import (random_linesearch_problem,
+                                         random_noslip_problem)
 
 
 def _check(name, got, want, tol):
@@ -71,13 +46,13 @@ def main() -> int:
     ok = True
 
     # 1. noslip sweep (R = friction rows; hammer peaks ~100+).
-    args = _random_noslip_problem(jax.random.PRNGKey(0), B, 118)
+    args = random_noslip_problem(jax.random.PRNGKey(0), B, 118)
     want = jax.vmap(lambda *xs: KR._noslip_scan(*xs, 5))(*args)
     got = jax.jit(jax.vmap(KR.make_noslip_sweep(5)))(*args)
     ok &= _check("noslip_sweep", got, want, 5e-4)
 
     # 2. Newton exact linesearch (R = nefc rows).
-    largs = _random_ls_problem(jax.random.PRNGKey(1), B, 130)
+    largs = random_linesearch_problem(jax.random.PRNGKey(1), B, 130)
     want = jax.vmap(lambda *xs: KR._linesearch_ref(*xs, 12, 16))(*largs)
     got = jax.jit(jax.vmap(KR.make_linesearch(12, 16)))(*largs)
     ok &= _check("newton_linesearch", got, want, 5e-4)
