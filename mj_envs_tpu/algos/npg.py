@@ -63,6 +63,9 @@ class Transition(NamedTuple):
     reward: jnp.ndarray
     done: jnp.ndarray
     t: jnp.ndarray                # per-env episode step (for baseline feats)
+    truncated: jnp.ndarray        # boundary was the episode cap
+    final_obs: jnp.ndarray        # finishing obs at boundaries
+    t_final: jnp.ndarray          # finishing step index (baseline feats)
 
 
 def _policy_init(key, obs_dim, act_dim, cfg: NPGConfig):
@@ -119,25 +122,30 @@ def make_npg(env: AdroitEnv, num_envs: int, cfg: NPGConfig = NPGConfig(),
             action = act_fn(params, es.obs, ka)
             es2 = v_step(es, jnp.clip(action, -1.0, 1.0))
             tr = Transition(obs=es.obs, action=action, reward=es2.reward,
-                            done=es2.done, t=es.step_count)
+                            done=es2.done, t=es.step_count,
+                            truncated=es2.truncated,
+                            final_obs=es2.final_obs,
+                            t_final=es.step_count + 1)
             return (es2, k), tr
 
         (env_state, _), traj = jax.lax.scan(
             step_fn, (env_state, key), None, length=cfg.n_steps)
         return env_state, traj
 
-    def gae(traj: Transition, values, last_value):
+    def gae(traj: Transition, values, trunc_boots, last_value):
         def scan_fn(carry, x):
             adv_next, v_next = carry
-            r, d, v = x
+            r, d, v, tb = x
             nonterm = 1.0 - d.astype(v.dtype)
-            delta = r + cfg.gamma * v_next * nonterm - v
+            # boundary value: 0 at termination/quarantine, baseline
+            # V(final_obs) at pure truncation (SB3 TimeLimit semantics)
+            delta = r + cfg.gamma * (v_next * nonterm + tb) - v
             adv = delta + cfg.gamma * cfg.gae_lambda * nonterm * adv_next
             return (adv, v), adv
 
         (_, _), advs = jax.lax.scan(
             scan_fn, (jnp.zeros_like(last_value), last_value),
-            (traj.reward, traj.done, values), reverse=True)
+            (traj.reward, traj.done, values, trunc_boots), reverse=True)
         return advs
 
     def mean_logp(params, obs, act):
@@ -212,9 +220,12 @@ def make_npg(env: AdroitEnv, num_envs: int, cfg: NPGConfig = NPGConfig(),
         feats = _baseline_features(flat.obs, flat.t)
         w = _fit_baseline(feats, rets.reshape(T * B), cfg.baseline_reg)
         values = (feats @ w).reshape(T, B)
+        fin_feats = _baseline_features(flat.final_obs, flat.t_final)
+        fin_values = (fin_feats @ w).reshape(T, B)
+        trunc_boots = jnp.where(traj.truncated, fin_values, 0.0)
         last_feats = _baseline_features(env_state.obs, env_state.step_count)
         last_value = last_feats @ w
-        advs = gae(traj, values, last_value).reshape(T * B)
+        advs = gae(traj, values, trunc_boots, last_value).reshape(T * B)
         adv_n = (advs - advs.mean()) / (advs.std() + 1e-8)
 
         # Vanilla policy gradient (+ DAPG demo term).

@@ -48,6 +48,7 @@ class Transition(NamedTuple):
     value: jnp.ndarray
     reward: jnp.ndarray
     done: jnp.ndarray
+    trunc_boot: jnp.ndarray   # V(final_obs) at pure truncations, else 0
 
 
 def make_ppo(env: AdroitEnv, num_envs: int, cfg: PPOConfig = PPOConfig()):
@@ -77,8 +78,16 @@ def make_ppo(env: AdroitEnv, num_envs: int, cfg: PPOConfig = PPOConfig()):
             k, ka = jax.random.split(k)
             action, logp, value = act_fn(params, es.obs, ka)
             es2 = v_step(es, jnp.clip(action, -1.0, 1.0))
+            # Truncation bootstrap (reference SB3 PPO semantics: at a
+            # TimeLimit boundary the return target bootstraps
+            # V(terminal_observation), not 0 — the episode didn't end by
+            # the task's rules).  es2.obs is already the NEXT episode's
+            # obs there, so the finishing obs comes from final_obs.
+            v_final = N.actor_critic_apply(params, es2.final_obs)[2]
+            trunc_boot = jnp.where(es2.truncated, v_final, 0.0)
             tr = Transition(obs=es.obs, action=action, log_prob=logp,
-                            value=value, reward=es2.reward, done=es2.done)
+                            value=value, reward=es2.reward, done=es2.done,
+                            trunc_boot=trunc_boot)
             return (es2, k), tr
 
         (env_state, _), traj = jax.lax.scan(
@@ -89,7 +98,10 @@ def make_ppo(env: AdroitEnv, num_envs: int, cfg: PPOConfig = PPOConfig()):
         def scan_fn(carry, tr):
             adv_next, v_next = carry
             nonterm = 1.0 - tr.done.astype(tr.value.dtype)
-            delta = tr.reward + cfg.gamma * v_next * nonterm - tr.value
+            # boundary value: 0 at termination/quarantine,
+            # V(final_obs) at pure truncation, V(next obs) mid-episode
+            boot = v_next * nonterm + tr.trunc_boot
+            delta = tr.reward + cfg.gamma * boot - tr.value
             adv = delta + cfg.gamma * cfg.gae_lambda * nonterm * adv_next
             return (adv, tr.value), adv
 

@@ -212,9 +212,16 @@ def make_sac(env: AdroitEnv, num_envs: int, cfg: SACConfig = SACConfig()):
             warm = steps < cfg.warmup_steps
             a = jnp.where(warm, a_rand, a_pol)
             es2 = v_step(es, a)
+            # Truncation handling (SB3 TimeLimit semantics): at a pure
+            # truncation the stored next_obs must be the FINISHING obs
+            # (es2.obs is already the next episode's) and done must stay
+            # 0 so the Q-target keeps bootstrapping; at termination /
+            # quarantine done=1 masks next_obs anyway.
+            next_obs = jnp.where(es2.truncated[:, None],
+                                 es2.final_obs, es2.obs)
             replay = _store(replay, dict(
                 obs=es.obs, action=a, reward=es2.reward,
-                next_obs=es2.obs, done=es2.done))
+                next_obs=next_obs, done=es2.done & ~es2.truncated))
             return (es2, replay, steps + num_envs, k), es2.reward.mean()
 
         (env_state, replay, env_steps, key), rews = jax.lax.scan(

@@ -62,11 +62,22 @@ class EnvState:
     var: ModelVar
     obs: jnp.ndarray
     reward: jnp.ndarray       # ()
-    done: jnp.ndarray         # () bool — task termination (pen drop)
+    done: jnp.ndarray         # () bool — episode boundary under
+                              # step_auto_reset (termination OR
+                              # truncation OR quarantine); task
+                              # termination only under plain step
     goal_achieved: jnp.ndarray  # () bool
     step_count: jnp.ndarray   # () int32
     key: jax.Array            # PRNG key for this env's future resets
     nan_resets: jnp.ndarray   # () int32 — quarantined non-finite states
+    truncated: jnp.ndarray    # () bool — boundary was the episode cap,
+                              # not task termination: learners should
+                              # bootstrap V(final_obs) there (the
+                              # reference's SB3 PPO bootstraps
+                              # terminal_observation at TimeLimit)
+    final_obs: jnp.ndarray    # the finishing step's obs — under auto-
+                              # reset `obs` is already the NEXT
+                              # episode's first obs at a boundary
 
 
 def _apply_var(model: Model, var: ModelVar) -> Model:
@@ -169,7 +180,8 @@ class AdroitEnv:
             done=jnp.zeros((), dtype=bool),
             goal_achieved=jnp.zeros((), dtype=bool),
             step_count=jnp.zeros((), dtype=jnp.int32), key=key,
-            nan_resets=jnp.zeros((), dtype=jnp.int32))
+            nan_resets=jnp.zeros((), dtype=jnp.int32),
+            truncated=jnp.zeros((), dtype=bool), final_obs=obs)
 
     def step(self, state: EnvState, action: jnp.ndarray) -> EnvState:
         """One env step = clip/de-normalize + FRAME_SKIP physics substeps +
@@ -186,7 +198,8 @@ class AdroitEnv:
         reward, done, goal = self._reward_done(model, d)
         return state.replace(
             data=d, obs=obs, reward=reward.astype(self.dtype), done=done,
-            goal_achieved=goal, step_count=state.step_count + 1)
+            goal_achieved=goal, step_count=state.step_count + 1,
+            truncated=jnp.zeros((), dtype=bool), final_obs=obs)
 
     def step_auto_reset(self, state: EnvState,
                         action: jnp.ndarray) -> EnvState:
@@ -226,10 +239,18 @@ class AdroitEnv:
         # the next episode's, a learner that bootstraps with
         # (1 - done) * V(next_obs) would otherwise leak the fresh
         # episode's value across the boundary (GAE deltas, SAC targets).
+        # Pure truncation (cap hit, no task termination, state sound):
+        # the episode did NOT end by the task's rules, so a learner
+        # should bootstrap V(final_obs) there instead of zero — the
+        # reference's SB3 PPO does exactly this with gym's TimeLimit
+        # terminal_observation.  Quarantine is treated as termination
+        # (final_obs would be poisoned).
         return new_core.replace(
             reward=jnp.where(finite, st.reward,
                              jnp.zeros_like(st.reward)),
             done=restart,
+            truncated=trunc & ~st.done & finite,
+            final_obs=st.obs,
             goal_achieved=st.goal_achieved & finite,
             nan_resets=state.nan_resets + (~finite).astype(jnp.int32))
 

@@ -33,6 +33,10 @@ def test_auto_reset_on_truncation():
     # boundary: step_count hit 2 == cap -> restarted
     assert int(st2.step_count) == 0
     assert bool(st2.done)              # truncation boundary reported
+    assert bool(st2.truncated)         # ...flagged as cap, not task end
+    # final_obs carries the finishing step's obs for V-bootstrap; it
+    # must differ from the fresh obs the state now exposes
+    assert not np.allclose(np.asarray(st2.final_obs), np.asarray(st2.obs))
     # fresh obs: qvel-derived entries are zero again and obs matches a
     # hand-rolled reset with the key the state carried.
     fresh = jax.jit(env.reset)(st1.key)
