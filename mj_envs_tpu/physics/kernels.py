@@ -75,7 +75,7 @@ def _noslip_kernel(AT_ref, a_ref, lo_ref, hi_ref, gate_ref, r0_ref,
 
 
 def _noslip_pallas(A, a_safe, lo, hi, gate, r0, u0, iters: int,
-                   block_b: int = 64):
+                   block_b: int = 128):
     """Batched sweep on TPU: A (B, R, R) f32; returns u (B, R)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -221,10 +221,12 @@ def _linesearch_kernel(jar_ref, Jp_ref, D_ref, floss_ref, active_ref,
     Jp = Jp_ref[:]
     D = D_ref[:]
     floss = floss_ref[:]
-    active = active_ref[:] > 0.0
+    active = active_ref[:]              # float 0/1 mask
     c1 = c1_ref[:]
     c2 = c2_ref[:]
-    is_fric = floss > 0
+    is_fric = floss > 0                 # bool PREDICATE only — Mosaic
+    # cannot materialize bool-valued vectors (i8->i1 trunc unsupported),
+    # so masks are carried as f32 0/1 and combined multiplicatively.
 
     def dphi(alpha):
         jar_a = jar + alpha * Jp
@@ -237,9 +239,10 @@ def _linesearch_kernel(jar_ref, Jp_ref, D_ref, floss_ref, active_ref,
     def ddphi(alpha):
         jar_a = jar + alpha * Jp
         f_quad = -D * jar_a
-        quad = jnp.where(is_fric, jnp.abs(f_quad) <= floss,
-                         jar_a < 0) & active
-        return c2 + jnp.sum(jnp.where(quad, D, 0.0) * Jp * Jp,
+        quad_fric = (jnp.abs(f_quad) <= floss).astype(jar.dtype)
+        quad_one = (jar_a < 0).astype(jar.dtype)
+        quad = jnp.where(is_fric, quad_fric, quad_one) * active
+        return c2 + jnp.sum(quad * D * Jp * Jp,
                             axis=0, keepdims=True)
 
     hi = jax.lax.fori_loop(
@@ -369,7 +372,11 @@ def _chol_solve_kernel(H_ref, g_ref, x_out_ref, A_scr, Lt_scr, y_scr,
 
     def fact_body(k, carry):
         row_k = A_scr[k]                            # (nv, B) == A[:, k, :]
-        akk = jax.lax.dynamic_slice_in_dim(row_k, k, 1, 0)   # (1, B)
+        # akk = row_k[k] as a masked reduce: Mosaic has no dynamic_slice
+        # lowering for VALUES (only Refs), and a (nv, B) where+sum is a
+        # couple of VPU ops on VMEM-resident data.
+        akk = jnp.sum(jnp.where(row_ids == k, row_k, 0.0),
+                      axis=0, keepdims=True)        # (1, B)
         inv_s = jax.lax.rsqrt(akk)
         c = row_k * inv_s                           # column k of L
         c = jnp.where(row_ids >= k, c, 0.0)
@@ -385,7 +392,8 @@ def _chol_solve_kernel(H_ref, g_ref, x_out_ref, A_scr, Lt_scr, y_scr,
 
     def fwd_body(k, carry):
         col = Lt_scr[k]                             # (nv, B), zeros above k
-        lkk = jax.lax.dynamic_slice_in_dim(col, k, 1, 0)
+        lkk = jnp.sum(jnp.where(row_ids == k, col, 0.0),
+                      axis=0, keepdims=True)        # (1, B)
         yk = y_scr[pl.ds(k, 1), :] / lkk
         y_scr[pl.ds(k, 1), :] = yk
         sub = jnp.where(row_ids > k, col, 0.0) * yk
@@ -402,7 +410,8 @@ def _chol_solve_kernel(H_ref, g_ref, x_out_ref, A_scr, Lt_scr, y_scr,
         col = Lt_scr[k]
         dot = jnp.sum(jnp.where(row_ids > k, col * x_out_ref[:], 0.0),
                       axis=0, keepdims=True)        # (1, B)
-        lkk = jax.lax.dynamic_slice_in_dim(col, k, 1, 0)
+        lkk = jnp.sum(jnp.where(row_ids == k, col, 0.0),
+                      axis=0, keepdims=True)        # (1, B)
         xk = (y_scr[pl.ds(k, 1), :] - dot) / lkk
         x_out_ref[pl.ds(k, 1), :] = xk
         return carry
