@@ -156,34 +156,68 @@ def main():
     # (round-1 post-mortem: the driver killed the bench before anything
     # was printed).  If a larger size improves it, a better line follows;
     # consumers take the last parseable line.
+    #
+    # Round-2 post-mortem: a child CRASH (e.g. the noslip VMEM compile
+    # failure) produced a bare "FAILED to measure" with stderr discarded
+    # and no smaller size attempted.  Now every child's stderr tail is
+    # recorded, and a crash (not a timeout) walks a fallback ladder down
+    # to 128 envs and finally the CPU backend, so the artifact always
+    # carries either a measurement or a diagnosis.
     results = []
-    for n in sizes:
+    errors = []
+
+    def try_size(n, env_overrides=None, tag=""):
         remaining = DEADLINE_S - (time.time() - _T0) - 30.0
         if results and remaining < 120.0:
-            break          # keep what we have rather than risk rc=124
+            return "deadline"
+        cenv = dict(child_env)
+        if env_overrides:
+            cenv.update(env_overrides)
         try:
             out = subprocess.run(
                 [sys.executable, me, "--child", str(n)],
-                capture_output=True, text=True, cwd=here, env=child_env,
+                capture_output=True, text=True, cwd=here, env=cenv,
                 timeout=max(60.0, remaining))
-            for line in out.stdout.splitlines():
-                try:
-                    rec = json.loads(line)
-                except json.JSONDecodeError:
-                    continue
-                if "steps_per_s" in rec:
-                    results.append(rec)
-                    if rec["steps_per_s"] >= max(
-                            r["steps_per_s"] for r in results):
-                        print(headline(rec), flush=True)
-                    break
         except subprocess.TimeoutExpired:
+            errors.append(f"{tag}{n}: timeout")
+            return "timeout"
+        for line in out.stdout.splitlines():
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if "steps_per_s" in rec:
+                results.append(rec)
+                if rec["steps_per_s"] >= max(
+                        r["steps_per_s"] for r in results):
+                    print(headline(rec), flush=True)
+                return "ok"
+        tail = (out.stderr or "").strip().splitlines()[-6:]
+        errors.append(f"{tag}{n}: rc={out.returncode} " + " | ".join(tail))
+        return "crash"
+
+    for n in sizes:
+        status = try_size(n)
+        if status in ("deadline", "timeout"):
+            break
+        if status == "crash" and not results:
+            # Retry ladder: smaller TPU batches, then the CPU backend.
+            for fb in (1024, 256, 128):
+                if fb < n and try_size(fb) == "ok":
+                    break
+            else:
+                if backend == "tpu":
+                    from mj_envs_tpu.utils.hostcpu import scrub_axon_env
+                    cpu_env = scrub_axon_env(dict(os.environ))
+                    cpu_env["JAX_PLATFORMS"] = "cpu"
+                    try_size(256, env_overrides=cpu_env, tag="cpu:")
             break
 
     if not results:
         print(json.dumps({
             "metric": "hammer-v0 env-steps/s/chip (FAILED to measure)",
-            "value": 0.0, "unit": "env-steps/s", "vs_baseline": 0.0}))
+            "value": 0.0, "unit": "env-steps/s", "vs_baseline": 0.0,
+            "error": "; ".join(errors)[-1500:] or "no child completed"}))
         return
 
     best = max(results, key=lambda r: r["steps_per_s"])

@@ -49,6 +49,24 @@ class PlanetConfig(NamedTuple):
     grad_clip_norm: float = 1000.0
 
 
+def cfg_from_config(config, action_size: int) -> "PlanetConfig":
+    """Map a run `utils.config.PlanetConfig` (the reference-JSON-
+    compatible attribute bag) to the algorithm NamedTuple — shared by
+    the train loop and the eval/visualize CLIs so a checkpoint restores
+    with the exact parameter shapes it was trained with."""
+    return PlanetConfig(
+        belief_size=config.belief_size, state_size=config.state_size,
+        hidden_size=config.hidden_size,
+        embedding_size=config.embedding_size,
+        action_size=action_size, free_nats=float(config.free_nats),
+        planning_horizon=config.planning_horizon,
+        optimisation_iters=config.optimisation_iters,
+        candidates=config.candidates,
+        top_candidates=config.top_candidates,
+        lr=config.learning_rate, adam_eps=config.adam_epsilon,
+        grad_clip_norm=float(config.grad_clip_norm))
+
+
 # ---------------------------------------------------------------------------
 # parameter construction
 # ---------------------------------------------------------------------------

@@ -94,24 +94,52 @@ def make_ppo(env: AdroitEnv, num_envs: int, cfg: PPOConfig = PPOConfig()):
             step_fn, (env_state, key), None, length=cfg.n_steps)
         return env_state, traj
 
-    def gae(traj: Transition, last_value):
-        def scan_fn(carry, tr):
-            adv_next, v_next = carry
-            nonterm = 1.0 - tr.done.astype(tr.value.dtype)
-            # boundary value: 0 at termination/quarantine,
-            # V(final_obs) at pure truncation, V(next obs) mid-episode
-            boot = v_next * nonterm + tr.trunc_boot
-            delta = tr.reward + cfg.gamma * boot - tr.value
-            adv = delta + cfg.gamma * cfg.gae_lambda * nonterm * adv_next
-            return (adv, tr.value), adv
+    update = _make_update(cfg, tx, N.actor_critic_apply)
 
-        (_, _), advs = jax.lax.scan(
-            scan_fn, (jnp.zeros_like(last_value), last_value), traj,
-            reverse=True)
-        return advs, advs + traj.value
+    def train_iter_fn(train_state: TrainState, env_state: EnvState):
+        key, kr = jax.random.split(train_state.key)
+        train_state = train_state._replace(key=key)
+        env_state, traj = rollout(train_state.params, env_state, kr)
+        _, _, last_value = N.actor_critic_apply(train_state.params,
+                                                env_state.obs)
+        advs, rets = _gae(cfg, traj, last_value)
+        train_state, metrics = update(train_state, traj, advs, rets)
+        metrics["mean_reward"] = traj.reward.mean()
+        metrics["mean_episode_done"] = traj.done.astype(jnp.float32).mean()
+        # Cumulative quarantined non-finite states across the env batch
+        # (in-graph fault detection; see AdroitEnv.step_auto_reset).
+        metrics["nan_resets"] = env_state.nan_resets.sum()
+        return train_state, env_state, metrics
+
+    return init_fn, train_iter_fn, act_fn
+
+
+def _gae(cfg: PPOConfig, traj: Transition, last_value):
+    """Generalized advantage estimation over a (T, B) trajectory."""
+    def scan_fn(carry, tr):
+        adv_next, v_next = carry
+        nonterm = 1.0 - tr.done.astype(tr.value.dtype)
+        # boundary value: 0 at termination/quarantine,
+        # V(final_obs) at pure truncation, V(next obs) mid-episode
+        boot = v_next * nonterm + tr.trunc_boot
+        delta = tr.reward + cfg.gamma * boot - tr.value
+        adv = delta + cfg.gamma * cfg.gae_lambda * nonterm * adv_next
+        return (adv, tr.value), adv
+
+    (_, _), advs = jax.lax.scan(
+        scan_fn, (jnp.zeros_like(last_value), last_value), traj,
+        reverse=True)
+    return advs, advs + traj.value
+
+
+def _make_update(cfg: PPOConfig, tx, apply_fn):
+    """Minibatch-epoch PPO update closure over `apply_fn(params, obs) ->
+    (mean, log_std, value)` — shared by the state-vector and pixel
+    policies (obs may be any (..., *obs_shape) array, incl. uint8
+    pixels: the CNN torso rescales in-graph)."""
 
     def loss_fn(params, batch, adv, ret):
-        mean, log_std, value = N.actor_critic_apply(params, batch.obs)
+        mean, log_std, value = apply_fn(params, batch.obs)
         logp = N.gaussian_log_prob(mean, log_std, batch.action)
         ratio = jnp.exp(logp - batch.log_prob)
         adv_n = (adv - adv.mean()) / (adv.std() + 1e-8)
@@ -162,19 +190,80 @@ def make_ppo(env: AdroitEnv, num_envs: int, cfg: PPOConfig = PPOConfig()):
         metrics = jax.tree_util.tree_map(lambda x: x.mean(), metrics)
         return TrainState(params, opt_state, key), metrics
 
-    def train_iter_fn(train_state: TrainState, env_state: EnvState):
+    return update
+
+
+def make_pixel_ppo(penv, num_envs: int, cfg: PPOConfig = PPOConfig()):
+    """PPO on 64x64 pixel observations with the CNN actor-critic — the
+    reference's `config.model_type == "cnn"` family
+    (`mj_envs_vision/algos/baselines.py:120-134`:
+    `ActorCriticCnnPolicy` over `CustomPixelObservationWrapper` pixels).
+
+    `penv` is an `envs.pixels.PixelObservationEnv`; rollouts render
+    on-device and store frames as uint8 (a (T, B, 64, 64, 3) f32 buffer
+    would be ~0.8 GB at T=64, B=256 — uint8 matches the reference's GL
+    frames and quarters HBM).  At a truncation boundary the finishing
+    frame is rendered and valued only when some env actually truncated
+    (`lax.cond` on the batch-level predicate: episodes truncate in
+    lockstep for the three never-terminating tasks, so the second render
+    runs on boundary steps only)."""
+    from ..envs.pixels import PixelEnvState
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adam(cfg.lr))
+    env = penv.env
+    v_pair = jax.vmap(env._step_auto_reset_pair)
+    v_render = jax.vmap(penv._render)
+
+    def init_fn(key: jax.Array) -> TrainState:
+        kp, kt = jax.random.split(key)
+        params = N.cnn_actor_critic_init(kp, env.nu, in_hw=penv.height)
+        return TrainState(params=params, opt_state=tx.init(params), key=kt)
+
+    def act_fn(params, pixels, key):
+        mean, log_std, value = N.cnn_actor_critic_apply(params, pixels)
+        action = N.gaussian_sample(key, mean, log_std)
+        return action, N.gaussian_log_prob(mean, log_std, action), value
+
+    def rollout(params, pstate: "PixelEnvState", key):
+        def step_fn(carry, _):
+            ps, k = carry
+            k, ka = jax.random.split(k)
+            action, logp, value = act_fn(params, ps.pixels, ka)
+            merged, raw = v_pair(ps.state, jnp.clip(action, -1.0, 1.0))
+            pixels = v_render(merged)     # next policy input (fresh on
+            #                               restart — auto-reset semantics)
+
+            def boot(_):
+                return N.cnn_actor_critic_apply(params, v_render(raw))[2]
+
+            v_final = jax.lax.cond(jnp.any(merged.truncated), boot,
+                                   lambda _: jnp.zeros_like(value), None)
+            trunc_boot = jnp.where(merged.truncated, v_final, 0.0)
+            tr = Transition(
+                obs=jnp.round(ps.pixels).astype(jnp.uint8), action=action,
+                log_prob=logp, value=value, reward=merged.reward,
+                done=merged.done, trunc_boot=trunc_boot)
+            return (PixelEnvState(state=merged, pixels=pixels), k), tr
+
+        (pstate, _), traj = jax.lax.scan(
+            step_fn, (pstate, key), None, length=cfg.n_steps)
+        return pstate, traj
+
+    update = _make_update(cfg, tx, N.cnn_actor_critic_apply)
+
+    def train_iter_fn(train_state: TrainState, pstate):
         key, kr = jax.random.split(train_state.key)
         train_state = train_state._replace(key=key)
-        env_state, traj = rollout(train_state.params, env_state, kr)
-        _, _, last_value = N.actor_critic_apply(train_state.params,
-                                                env_state.obs)
-        advs, rets = gae(traj, last_value)
+        pstate, traj = rollout(train_state.params, pstate, kr)
+        last_value = N.cnn_actor_critic_apply(train_state.params,
+                                              pstate.pixels)[2]
+        advs, rets = _gae(cfg, traj, last_value)
         train_state, metrics = update(train_state, traj, advs, rets)
         metrics["mean_reward"] = traj.reward.mean()
         metrics["mean_episode_done"] = traj.done.astype(jnp.float32).mean()
-        # Cumulative quarantined non-finite states across the env batch
-        # (in-graph fault detection; see AdroitEnv.step_auto_reset).
-        metrics["nan_resets"] = env_state.nan_resets.sum()
-        return train_state, env_state, metrics
+        metrics["nan_resets"] = pstate.state.nan_resets.sum()
+        return train_state, pstate, metrics
 
     return init_fn, train_iter_fn, act_fn

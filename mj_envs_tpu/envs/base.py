@@ -78,6 +78,12 @@ class EnvState:
     final_obs: jnp.ndarray    # the finishing step's obs — under auto-
                               # reset `obs` is already the NEXT
                               # episode's first obs at a boundary
+    contact_clips: jnp.ndarray  # () int32 — env steps in which any
+                              # substep's narrowphase found more contacts
+                              # than the ncmax active slots (compact()
+                              # dropped the overflow) — a nonzero value
+                              # flags potential divergence from the
+                              # oracle under extreme variations
 
 
 def _apply_var(model: Model, var: ModelVar) -> Model:
@@ -110,6 +116,7 @@ class AdroitEnv:
         self.nu = s.nu
         self.nq = s.nq
         self.nv = s.nv
+        self.ncmax = pipeline._ncmax(s)
 
         cr = np.asarray(self.model.act_ctrlrange)
         self.act_mid = jnp.asarray(cr.mean(axis=1), dtype=dtype)
@@ -181,7 +188,8 @@ class AdroitEnv:
             goal_achieved=jnp.zeros((), dtype=bool),
             step_count=jnp.zeros((), dtype=jnp.int32), key=key,
             nan_resets=jnp.zeros((), dtype=jnp.int32),
-            truncated=jnp.zeros((), dtype=bool), final_obs=obs)
+            truncated=jnp.zeros((), dtype=bool), final_obs=obs,
+            contact_clips=jnp.zeros((), dtype=jnp.int32))
 
     def step(self, state: EnvState, action: jnp.ndarray) -> EnvState:
         """One env step = clip/de-normalize + FRAME_SKIP physics substeps +
@@ -191,15 +199,19 @@ class AdroitEnv:
         ctrl = self.act_mid + a * self.act_rng
 
         def substep(d, _):
-            return pipeline.step(model, d, ctrl), ()
+            d = pipeline.step(model, d, ctrl)
+            return d, d.ncon_active
 
-        d, _ = jax.lax.scan(substep, state.data, (), length=self.FRAME_SKIP)
+        d, ncon_seq = jax.lax.scan(substep, state.data, (),
+                                   length=self.FRAME_SKIP)
+        clipped = jnp.any(ncon_seq > self.ncmax)
         obs = self._obs(model, d)
         reward, done, goal = self._reward_done(model, d)
         return state.replace(
             data=d, obs=obs, reward=reward.astype(self.dtype), done=done,
             goal_achieved=goal, step_count=state.step_count + 1,
-            truncated=jnp.zeros((), dtype=bool), final_obs=obs)
+            truncated=jnp.zeros((), dtype=bool), final_obs=obs,
+            contact_clips=state.contact_clips + clipped.astype(jnp.int32))
 
     def step_auto_reset(self, state: EnvState,
                         action: jnp.ndarray) -> EnvState:
@@ -220,6 +232,15 @@ class AdroitEnv:
         reward is zeroed, done is reported so the learner cuts the GAE
         bootstrap, and `nan_resets` counts the event for metrics.  One
         bad env can therefore never poison a training batch."""
+        return self._step_auto_reset_pair(state, action)[0]
+
+    def _step_auto_reset_pair(self, state: EnvState,
+                              action: jnp.ndarray
+                              ) -> Tuple[EnvState, EnvState]:
+        """step_auto_reset that ALSO returns the raw post-step (pre-merge)
+        state — pixel learners need it to render the finishing frame at a
+        truncation boundary (`algos/ppo.make_pixel_ppo`); the merged
+        state's Data is already the next episode's there."""
         st = self.step(state, action)
         finite = (jnp.all(jnp.isfinite(st.data.qpos))
                   & jnp.all(jnp.isfinite(st.data.qvel))
@@ -245,14 +266,16 @@ class AdroitEnv:
         # reference's SB3 PPO does exactly this with gym's TimeLimit
         # terminal_observation.  Quarantine is treated as termination
         # (final_obs would be poisoned).
-        return new_core.replace(
+        merged = new_core.replace(
             reward=jnp.where(finite, st.reward,
                              jnp.zeros_like(st.reward)),
             done=restart,
             truncated=trunc & ~st.done & finite,
             final_obs=st.obs,
             goal_achieved=st.goal_achieved & finite,
-            nan_resets=state.nan_resets + (~finite).astype(jnp.int32))
+            nan_resets=state.nan_resets + (~finite).astype(jnp.int32),
+            contact_clips=st.contact_clips)
+        return merged, st
 
     # -- parity/debug API (get_env_state/set_env_state analogue) --------------
 

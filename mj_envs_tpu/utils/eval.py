@@ -61,24 +61,132 @@ def make_evaluate(env: AdroitEnv, policy_apply: Callable,
 
     def evaluate(params, key, count: int = 10) -> EvalResult:
         keys = jax.random.split(key, count)
-        obs, rew, goal, done, qpos = rollout_j(params, keys)
-        # scan stacks time-first -> (T, count); transpose to (count, T).
-        rew = np.asarray(rew).T
-        goal = np.asarray(goal).T
-        done = np.asarray(done).T
-        obs = np.asarray(obs).transpose(1, 0, 2)
-        qpos = np.asarray(qpos).transpose(1, 0, 2)
-        # Rewards stop accumulating after termination (pen drop), like the
-        # reference's loop which breaks... the reference actually keeps
-        # stepping (fixed length) — keep full sums for parity.
-        total = rew.sum(axis=1)
-        success_any = goal.any(axis=1)
-        success_rate = env.evaluate_success(goal)
-        return EvalResult(total_rewards=total, success_any=success_any,
-                          success_rate=success_rate, goal_achieved=goal,
-                          obs=obs, qpos=qpos, reward=rew)
+        return _finish_eval(env, *rollout_j(params, keys))
 
     return evaluate
+
+
+def _finish_eval(env, obs, rew, goal, done, qpos) -> EvalResult:
+    """Assemble an EvalResult from time-first scan outputs."""
+    # scan stacks time-first -> (T, count); transpose to (count, T).
+    rew = np.asarray(rew).T
+    goal = np.asarray(goal).T
+    done = np.asarray(done).T
+    obs = np.asarray(obs).transpose(1, 0, 2)
+    qpos = np.asarray(qpos).transpose(1, 0, 2)
+    # Rewards stop accumulating after termination (pen drop), like the
+    # reference's loop which breaks... the reference actually keeps
+    # stepping (fixed length) — keep full sums for parity.
+    total = rew.sum(axis=1)
+    success_any = goal.any(axis=1)
+    success_rate = env.evaluate_success(goal)
+    return EvalResult(total_rewards=total, success_any=success_any,
+                      success_rate=success_rate, goal_achieved=goal,
+                      obs=obs, qpos=qpos, reward=rew)
+
+
+def make_pixel_evaluate(penv, policy_apply: Callable, episode_length: int):
+    """Evaluate a stateless pixel policy (the CNN-PPO family):
+    policy_apply(params, pixels, key) -> action in [-1, 1].  Same fixed-
+    length fresh-env protocol as `make_evaluate`, with on-device
+    rendering feeding the policy each step."""
+    env = penv.env
+    v_reset = jax.vmap(env.reset)
+    v_step = jax.vmap(env.step)
+    v_render = jax.vmap(penv._render)
+
+    def rollout(params, keys):
+        state = v_reset(keys)
+        pixels = v_render(state)
+
+        def step_fn(carry, _):
+            st, pix, k = carry
+            k, ka = jax.random.split(k)
+            action = policy_apply(params, pix, ka)
+            st = v_step(st, action)
+            return (st, v_render(st), k), (st.obs, st.reward,
+                                           st.goal_achieved, st.done,
+                                           st.data.qpos)
+
+        (_, _, _), outs = jax.lax.scan(
+            step_fn, (state, pixels, keys[0]), None, length=episode_length)
+        return outs
+
+    rollout_j = jax.jit(rollout)
+
+    def evaluate(params, key, count: int = 10) -> EvalResult:
+        keys = jax.random.split(key, count)
+        return _finish_eval(env, *rollout_j(params, keys))
+
+    return evaluate
+
+
+def make_planet_evaluate(env, config, episode_length: int):
+    """Evaluate a PlaNet policy with the belief-filtered act path — the
+    reference evaluates PlaNet like any other policy
+    (`mj_envs_vision/utils/eval.py:36-44`: `policy.act` = preprocess ->
+    encoder -> RSSM filter -> CEM plan, `baselines.py:311-320`).
+
+    Carries (belief h, state s, last action a) across the fixed-length
+    rollout; all `count` eval envs filter and plan in one batch (the
+    CEM's candidate rollouts batch over envs natively)."""
+    from ..algos import planet as PL
+    from ..envs.pixels import PixelObservationEnv
+    from ..render.raster import images_to_observation
+
+    penv = PixelObservationEnv(env)
+    cfg = PL.cfg_from_config(config, env.nu)
+    _, _, infer_step, plan = PL.make_planet(cfg)
+    bit_depth = config.bit_depth
+    v_reset = jax.vmap(env.reset)
+    v_step = jax.vmap(env.step)
+    v_render = jax.vmap(penv._render)
+
+    def rollout(params, keys):
+        count = keys.shape[0]
+        st = v_reset(keys)
+        pix = v_render(st)
+        h = jnp.zeros((count, cfg.belief_size))
+        s = jnp.zeros((count, cfg.state_size))
+        a = jnp.zeros((count, env.nu))
+
+        def step_fn(carry, _):
+            st, pix, h, s, a, k = carry
+            k, k1, k2, k3 = jax.random.split(k, 4)
+            obs_pl = images_to_observation(pix, bit_depth, key=k1)
+            h, s = infer_step(params, k2, h, s, a, obs_pl)
+            a = plan(params, k3, h, s)
+            st = v_step(st, a)
+            return (st, v_render(st), h, s, a, k), (
+                st.obs, st.reward, st.goal_achieved, st.done,
+                st.data.qpos)
+
+        (_, _, _, _, _, _), outs = jax.lax.scan(
+            step_fn, (st, pix, h, s, a, keys[0]), None,
+            length=episode_length)
+        return outs
+
+    rollout_j = jax.jit(rollout)
+
+    def evaluate(params, key, count: int = 10) -> EvalResult:
+        keys = jax.random.split(key, count)
+        return _finish_eval(env, *rollout_j(params, keys))
+
+    return evaluate
+
+
+def load_planet_params(config, env):
+    """Restore a PlaNet checkpoint's params with the shapes implied by
+    `config` (saved by train_planet_policy as {"params", "opt_state"})."""
+    import jax as _jax
+    from ..algos import planet as PL
+    from . import checkpoint as CKPT
+    cfg = PL.cfg_from_config(config, env.nu)
+    init_fn, _, _, _ = PL.make_planet(cfg)
+    params0, _ = init_fn(_jax.random.PRNGKey(0))
+    tree = CKPT.restore(config.models_path,
+                        {"params": params0, "opt_state": None})
+    return tree["params"]
 
 
 def dapg_policy_apply(act_fn: Callable):
@@ -122,6 +230,25 @@ def run_eval(config_path, policy_type="default", variation_type=None,
         act_fn, _ = dapg.load_policy(task)
         apply = dapg_policy_apply(act_fn)
         params = None
+        evaluate = make_evaluate(env, apply, env.MAX_EPISODE_STEPS)
+    elif policy_type == "ppo" and getattr(config, "model_type",
+                                          "mlp") == "cnn":
+        # Pixel PPO (reference ActorCriticCnnPolicy, baselines.py:120-134).
+        from mj_envs_tpu.algos import networks as N
+        from mj_envs_tpu.utils import checkpoint as CKPT
+        from mj_envs_tpu.envs.pixels import PixelObservationEnv
+        params0 = N.cnn_actor_critic_init(jax.random.PRNGKey(0), env.nu)
+        tree = CKPT.restore(config.models_path,
+                            {"params": params0, "opt_state": None,
+                             "key": None})
+        params = tree["params"]
+
+        def apply(params, pixels, key):
+            mean, _, _ = N.cnn_actor_critic_apply(params, pixels)
+            return jnp.clip(mean, -1.0, 1.0)
+
+        evaluate = make_pixel_evaluate(PixelObservationEnv(env), apply,
+                                       env.MAX_EPISODE_STEPS)
     elif policy_type == "ppo":
         from mj_envs_tpu.algos import networks as N
         from mj_envs_tpu.utils import checkpoint as CKPT
@@ -135,10 +262,16 @@ def run_eval(config_path, policy_type="default", variation_type=None,
         def apply(params, obs, key):
             mean, _, _ = N.actor_critic_apply(params, obs)
             return jnp.clip(mean, -1.0, 1.0)
+
+        evaluate = make_evaluate(env, apply, env.MAX_EPISODE_STEPS)
+    elif policy_type == "planet":
+        # Belief-filtered PlaNet act path (reference eval.py:36-44).
+        params = load_planet_params(config, env)
+        evaluate = make_planet_evaluate(
+            env, config,
+            config.max_episode_length // config.action_repeat)
     else:
         raise SystemExit(f"unsupported policy_type {policy_type}")
-
-    evaluate = make_evaluate(env, apply, env.MAX_EPISODE_STEPS)
     total_rewards, successes = [], []
     for ep in range(episodes):
         key = jax.random.PRNGKey(config.seed + ep)   # reseed seed+ep
@@ -174,7 +307,7 @@ def main():
     @click.command()
     @click.option("--config_path", type=str, required=True)
     @click.option("--policy_type", type=str, default="default",
-                  help="{default, dapg, ppo}")
+                  help="{default, dapg, ppo, planet}")
     @click.option("--variation_type", type=str, default=None)
     @click.option("--episodes", type=int, default=5)
     @click.option("--out", type=str, default=None)

@@ -115,10 +115,39 @@ def train_ppo_policy(config, env: AdroitEnv, out_dir: Optional[str] = None):
         max_grad_norm=float(config.grad_clip_norm),
     )
     num_envs = config.num_envs
-    init_fn, train_iter_fn, act_fn = PPO.make_ppo(env, num_envs, cfg)
+    model_type = getattr(config, "model_type", "mlp") or "mlp"
 
     key = jax.random.PRNGKey(config.seed)
     key, k_init, k_env, k_eval = jax.random.split(key, 4)
+
+    if model_type == "cnn":
+        # Pixel PPO (reference `config.model_type == "cnn"` ->
+        # ActorCriticCnnPolicy over pixels, baselines.py:120-134).
+        from ..envs.pixels import PixelObservationEnv
+        from .eval import make_pixel_evaluate
+        penv = PixelObservationEnv(env)
+        init_fn, train_iter_fn, act_fn = PPO.make_pixel_ppo(
+            penv, num_envs, cfg)
+        env_state = jax.jit(jax.vmap(penv.reset))(
+            jax.random.split(k_env, num_envs))
+
+        def eval_policy(params, pixels, ekey):
+            mean, _, _ = N.cnn_actor_critic_apply(params, pixels)
+            return jax.numpy.clip(mean, -1.0, 1.0)
+
+        evaluate = make_pixel_evaluate(penv, eval_policy,
+                                       env.MAX_EPISODE_STEPS)
+    else:
+        init_fn, train_iter_fn, act_fn = PPO.make_ppo(env, num_envs, cfg)
+        env_state = jax.jit(jax.vmap(env.reset))(
+            jax.random.split(k_env, num_envs))
+
+        def eval_policy(params, obs, ekey):
+            mean, _, _ = N.actor_critic_apply(params, obs)
+            return jax.numpy.clip(mean, -1.0, 1.0)
+
+        evaluate = make_evaluate(env, eval_policy, env.MAX_EPISODE_STEPS)
+
     train_state = init_fn(k_init)
 
     # Resume (reference baselines.py:149-161).
@@ -127,15 +156,7 @@ def train_ppo_policy(config, env: AdroitEnv, out_dir: Optional[str] = None):
         train_state = CKPT.restore(latest, train_state)
         print(f"resumed from {latest}")
 
-    env_state = jax.jit(jax.vmap(env.reset))(
-        jax.random.split(k_env, num_envs))
     step = jax.jit(train_iter_fn, donate_argnums=(1,))
-
-    def eval_policy(params, obs, ekey):
-        mean, _, _ = N.actor_critic_apply(params, obs)
-        return jax.numpy.clip(mean, -1.0, 1.0)
-
-    evaluate = make_evaluate(env, eval_policy, env.MAX_EPISODE_STEPS)
 
     metrics = Metrics(tb_dir=out_dir)
     prof = ProfilerHook()
@@ -280,17 +301,7 @@ def train_planet_policy(config, env, out_dir: Optional[str] = None):
 
     out_dir = out_dir or (config.log_path or "results")
     penv = PixelObservationEnv(env)
-    cfg = PL.PlanetConfig(
-        belief_size=config.belief_size, state_size=config.state_size,
-        hidden_size=config.hidden_size,
-        embedding_size=config.embedding_size,
-        action_size=env.nu, free_nats=float(config.free_nats),
-        planning_horizon=config.planning_horizon,
-        optimisation_iters=config.optimisation_iters,
-        candidates=config.candidates,
-        top_candidates=config.top_candidates,
-        lr=config.learning_rate, adam_eps=config.adam_epsilon,
-        grad_clip_norm=float(config.grad_clip_norm))
+    cfg = PL.cfg_from_config(config, env.nu)
     init_fn, update_fn, infer_step, plan = PL.make_planet(cfg)
 
     key = jax.random.PRNGKey(config.seed)

@@ -52,6 +52,45 @@ def _rollout_frames(env, act_fn, key, max_steps: int):
     return frames, rewards
 
 
+def _rollout_frames_planet(env, config, params, key, max_steps: int):
+    """Single-env PlaNet rollout with 128x128 frames: the planner sees
+    the reference's 64x64 preprocessed obs (resize + bit-depth chain)
+    while the gif gets the full crop — mirroring the reference's
+    `visualize_env.py:37-47` planet path (act = preprocess -> encoder ->
+    RSSM filter -> CEM plan, `baselines.py:311-320`)."""
+    import jax
+    import jax.numpy as jnp
+    from mj_envs_tpu.envs.pixels import PixelObservationEnv
+    from mj_envs_tpu.algos import planet as PL
+    from mj_envs_tpu.render.raster import images_to_observation, resize_half
+
+    penv = PixelObservationEnv(env, height=128, width=128)
+    cfg = PL.cfg_from_config(config, env.nu)
+    _, _, infer_step, plan = PL.make_planet(cfg)
+    infer_j, plan_j = jax.jit(infer_step), jax.jit(plan)
+    reset_j, step_j = jax.jit(penv.reset), jax.jit(penv.step)
+    resize_j = jax.jit(resize_half)
+
+    ps = reset_j(key)
+    h = jnp.zeros((1, cfg.belief_size))
+    s = jnp.zeros((1, cfg.state_size))
+    a = jnp.zeros((1, env.nu))
+    frames = [np.asarray(ps.pixels)]
+    rewards = []
+    for _ in range(max_steps):
+        key, k1, k2, k3 = jax.random.split(key, 4)
+        obs_pl = images_to_observation(resize_j(ps.pixels),
+                                       config.bit_depth, key=k1)[None]
+        h, s = infer_j(params, k2, h, s, a, obs_pl)
+        a = plan_j(params, k3, h, s)
+        ps = step_j(ps, a[0])
+        frames.append(np.asarray(ps.pixels))
+        rewards.append(float(ps.state.reward))
+        if bool(ps.state.done):
+            break
+    return frames, rewards
+
+
 def render_state_trajectory(env, qpos_traj, height: int = 128,
                             width: int = 128):
     """Re-render a recorded qpos trajectory (T, nq) offline -> list of
@@ -92,11 +131,8 @@ def _load_policy(policy_path, env, task):
             return lambda obs: act(obs), "dapg"
         act, _ = dapg.load_policy(task)
         return lambda obs: act(obs), "dapg-golden"
-    if "planet" in policy_path:
-        raise SystemExit(
-            "planet visualization: use run.py's planet eval path "
-            "(CEM planning needs belief filtering, not a pure obs->act "
-            "map)")
+    # (planet checkpoints are dispatched in main() before this — the CEM
+    # act path is stateful and handled by _rollout_frames_planet.)
     # PPO checkpoint (msgpack of TrainState).
     from mj_envs_tpu.algos import networks as N
     from mj_envs_tpu.algos.ppo import PPOConfig as _C  # noqa: F401
@@ -123,22 +159,44 @@ def _load_policy(policy_path, env, task):
 @click.option("--episodes", type=int, default=1)
 @click.option("--variation_type", type=str, default=None)
 @click.option("--out", type=str, default="results/vis")
-def main(env_name, policy, seed, episodes, variation_type, out):
+@click.option("--config_path", type=str, default=None,
+              help="run config JSON (required for planet checkpoints "
+                   "with non-default model sizes)")
+def main(env_name, policy, seed, episodes, variation_type, out,
+         config_path):
     import jax
     from mj_envs_tpu import envs
     from mj_envs_tpu.utils import helpers as H
 
     env = envs.make(env_name, variation_type=variation_type)
     task = env_name.replace("-v0", "")
-    act_fn, policy_name = _load_policy(policy, env, task)
+
+    planet_cfg = None
+    if policy and "planet" in str(policy):
+        # Reference filename sniffing routes *planet* checkpoints to the
+        # belief-filtered CEM act path (`visualize_env.py:37-47`).
+        from mj_envs_tpu.utils.config import load_config, PlanetConfig
+        from mj_envs_tpu.utils.eval import load_planet_params
+        planet_cfg = (load_config(config_path, "planet") if config_path
+                      else PlanetConfig())
+        planet_cfg.models_path = policy
+        planet_params = load_planet_params(planet_cfg, env)
+        policy_name = "planet"
+    else:
+        act_fn, policy_name = _load_policy(policy, env, task)
     os.makedirs(out, exist_ok=True)
     print(f"saving renderings to {out}")
 
     all_rewards = []
     for k in range(episodes):
         key = jax.random.PRNGKey(seed + k)
-        frames, rewards = _rollout_frames(env, act_fn, key,
-                                          env.MAX_EPISODE_STEPS)
+        if planet_cfg is not None:
+            frames, rewards = _rollout_frames_planet(
+                env, planet_cfg, planet_params, key,
+                planet_cfg.max_episode_length // planet_cfg.action_repeat)
+        else:
+            frames, rewards = _rollout_frames(env, act_fn, key,
+                                              env.MAX_EPISODE_STEPS)
         gif = os.path.join(
             out, f"visualise_{env_name}_{policy_name}_{k}.gif")
         H.save_as_gif(frames, gif)

@@ -80,3 +80,33 @@ def test_nan_quarantine_vmapped_isolation():
     assert nan_resets.tolist() == [0, 1, 0, 0]
     assert np.asarray(out.step_count).tolist() == [1, 0, 1, 1]
     assert np.all(np.isfinite(np.asarray(out.obs)))
+
+
+def test_contact_overflow_indicator():
+    """compact() drops contacts beyond the ncmax active slots; the env
+    must FLAG that instead of silently diverging (VERDICT r2 item 8).
+    Self-calibrating: measure the trajectory's peak narrowphase contact
+    count at the default cap (no clipping), then rebuild with a cap one
+    below the peak and assert the clip counter fires."""
+    env = envs.make("hammer-v0")
+    st = jax.jit(env.reset)(jax.random.PRNGKey(3))
+    step = jax.jit(env.step)
+    a = jnp.zeros(env.nu)
+    peak = 0
+    for _ in range(25):
+        st = step(st, a)
+        peak = max(peak, int(st.data.ncon_active))
+    assert int(st.contact_clips) == 0       # default cap: nothing dropped
+    assert peak >= 2, f"settle trajectory only reached {peak} contacts"
+
+    tight = envs.make("hammer-v0")
+    tight.spec.ncon_active_cap = peak - 1   # read by pipeline._ncmax
+    tight.ncmax = peak - 1
+    st = jax.jit(tight.reset)(jax.random.PRNGKey(3))
+    step = jax.jit(tight.step)
+    for _ in range(25):
+        st = step(st, a)
+    assert int(st.contact_clips) > 0
+    # and the auto-reset path carries the counter through
+    st2 = jax.jit(tight.step_auto_reset)(st, a)
+    assert int(st2.contact_clips) >= int(st.contact_clips)

@@ -291,3 +291,91 @@ def test_planet_end_to_end_smoke_completes():
     rec = json.loads(last)
     assert rec["task"] == "hammer-v0"
     assert all(np.isfinite(v) for v in rec["final"].values()), rec
+
+
+def test_cnn_actor_critic_shapes():
+    """NatureCNN torso on 64x64x3: output shapes, uint8/f32 input
+    equivalence (the torso rescales in-graph), finite values."""
+    import jax
+    import jax.numpy as jnp
+    from mj_envs_tpu.algos import networks as N
+
+    params = N.cnn_actor_critic_init(jax.random.PRNGKey(0), act_dim=5)
+    pix_f = jax.random.uniform(jax.random.PRNGKey(1), (3, 64, 64, 3),
+                               jnp.float32, 0.0, 255.0)
+    mean, log_std, value = jax.jit(N.cnn_actor_critic_apply)(params, pix_f)
+    assert mean.shape == (3, 5) and value.shape == (3,)
+    assert log_std.shape == (5,)
+    assert np.all(np.isfinite(np.asarray(mean)))
+    # uint8 input == its float cast (integer-valued pixels)
+    pix_u8 = jnp.round(pix_f).astype(jnp.uint8)
+    m2, _, v2 = jax.jit(N.cnn_actor_critic_apply)(params, pix_u8)
+    m3, _, v3 = jax.jit(N.cnn_actor_critic_apply)(
+        params, pix_u8.astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m3), atol=1e-6)
+    # leading (T, B) batch dims flatten correctly
+    m4 = N.cnn_actor_critic_apply(params, pix_f.reshape(1, 3, 64, 64, 3))[0]
+    np.testing.assert_allclose(np.asarray(m4[0]), np.asarray(mean),
+                               atol=1e-6)
+
+
+def test_pixel_ppo_train_iter_smoke():
+    """One jitted pixel-PPO iteration (VERDICT r2 item 5: the reference's
+    `model_type == "cnn"` ActorCriticCnnPolicy family,
+    `mj_envs_vision/algos/baselines.py:120-134`): rollout renders
+    on-device, losses finite, params move."""
+    import jax
+    import jax.numpy as jnp
+    from mj_envs_tpu import envs
+    from mj_envs_tpu.envs.pixels import PixelObservationEnv
+    from mj_envs_tpu.algos import ppo as PPO
+
+    env = envs.make("hammer-v0")
+    env.MAX_EPISODE_STEPS = 2         # force a truncation boundary in-roll
+    penv = PixelObservationEnv(env)
+    cfg = PPO.PPOConfig(n_steps=3, n_minibatches=2, n_epochs=1)
+    B = 2
+    init_fn, train_iter_fn, act_fn = PPO.make_pixel_ppo(penv, B, cfg)
+    ts = init_fn(jax.random.PRNGKey(0))
+    ps = jax.jit(jax.vmap(penv.reset))(
+        jax.random.split(jax.random.PRNGKey(1), B))
+    ts2, ps2, metrics = jax.jit(train_iter_fn)(ts, ps)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, v)
+    assert ps2.pixels.shape == (B, 64, 64, 3)
+    diff = jax.tree_util.tree_reduce(
+        lambda acc, ab: acc + float(jnp.abs(ab).sum()),
+        jax.tree_util.tree_map(lambda a, b: a - b, ts.params, ts2.params),
+        0.0)
+    assert diff > 0.0, "pixel PPO update did not change parameters"
+
+
+def test_planet_evaluate_protocol():
+    """`make_planet_evaluate` (VERDICT r2 item 6: the reference
+    evaluates PlaNet like any policy, eval.py:36-44) runs the
+    belief-filtered CEM act path batched over eval envs and returns the
+    standard EvalResult."""
+    import jax
+    from mj_envs_tpu import envs
+    from mj_envs_tpu.algos import planet as PL
+    from mj_envs_tpu.utils.config import PlanetConfig as RunPlanetConfig
+    from mj_envs_tpu.utils.eval import make_planet_evaluate
+
+    config = RunPlanetConfig()
+    config.belief_size, config.state_size = 16, 4
+    config.hidden_size, config.embedding_size = 16, 32
+    config.candidates, config.top_candidates = 8, 3
+    config.optimisation_iters, config.planning_horizon = 2, 3
+    config.max_episode_length, config.action_repeat = 4, 2
+
+    env = envs.make("pen-v0")
+    cfg = PL.cfg_from_config(config, env.nu)
+    init_fn, _, _, _ = PL.make_planet(cfg)
+    params, _ = init_fn(jax.random.PRNGKey(0))
+
+    evaluate = make_planet_evaluate(env, config, episode_length=2)
+    res = evaluate(params, jax.random.PRNGKey(1), count=2)
+    assert res.reward.shape == (2, 2)
+    assert res.qpos.shape == (2, 2, env.nq)
+    assert np.all(np.isfinite(res.total_rewards))
+    assert 0.0 <= res.success_rate <= 100.0

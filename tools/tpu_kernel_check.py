@@ -1,19 +1,30 @@
-"""Hardware validation of the Pallas TPU kernels (`physics/kernels.py`).
+"""Hardware validation of the TPU physics path (`physics/kernels.py` +
+`physics/solver.py` + the full `pipeline.step`).
 
-The interpret-mode equivalence tests (`tests/test_kernels.py`) prove the
-kernel *logic*; this tool proves the Mosaic-lowered kernels on the REAL
-backend: noslip Gauss-Seidel sweep, Newton exact linesearch, batched SPD
-Cholesky solve — each against its op-exact scan/dense reference at
-physics-realistic shapes (B=1024 envs, nv=33/ncon rows as in hammer-v0).
+Round-2 post-mortem (VERDICT r2): the old version of this tool probed the
+Pallas kernels in isolation at hand-picked shapes (noslip R=118) and
+passed while the real pipeline failed to compile — hammer's actual noslip
+row count is R = n_fric_dof + 3*ncmax = 129, whose (R, R, 128) AT tile
+double-buffers past the default 16 MB scoped-VMEM limit at any grid > 1
+(batch > 128).  This rewrite derives every shape from the BUILT MODELS of
+all four tasks and drives the real code path:
 
-    python tools/tpu_kernel_check.py          # uses the default backend
+  1. kernel-vs-scan equivalence at each task's true (R, nv) and B >= 256
+     (grid > 1, exercising Mosaic's double-buffered pipeline);
+  2. the full jitted `vmap(env.step_auto_reset)` on hammer at B >= 256,
+     cross-checked block-vs-whole: lanes 0..127 stepped alone (grid = 1)
+     must match the same lanes inside the B-env call (grid > 1).
 
-Prints one PASS/FAIL line per kernel plus max abs error; exits non-zero
-on any failure.  Run on CPU it exercises the custom_vmap fallback paths
-instead (still a valid smoke).
+    python tools/tpu_kernel_check.py            # default backend, B=256
+    KC_BATCH=1024 KC_ALL=1 python tools/tpu_kernel_check.py
+
+Prints one PASS/FAIL line per check; exits non-zero on any failure.  On
+CPU it exercises the custom_vmap fallback paths instead (still a valid
+smoke of the dispatch logic).
 """
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -40,33 +51,110 @@ def _check(name, got, want, tol):
     return ok
 
 
+def _assert_true(name, cond, detail=""):
+    print(f"{'PASS' if cond else 'FAIL'} {name} {detail}", flush=True)
+    return bool(cond)
+
+
+def task_shapes():
+    """Derive (R_noslip, nv, nefc) from the BUILT model of each task —
+    the shapes the solver actually compiles at (`pipeline.forward_core`
+    computes n_fric_dof from spec.dof_hasfrictionloss and ncmax from
+    `pipeline._ncmax`)."""
+    from mj_envs_tpu import envs
+    from mj_envs_tpu.physics import pipeline as P
+    shapes = {}
+    for task in ("hammer", "door", "pen", "relocate"):
+        env = envs.make(f"{task}-v0")
+        s = env.model.spec
+        nfl = int(np.sum(s.dof_hasfrictionloss))
+        ncmax = P._ncmax(s)
+        R = nfl + 3 * ncmax
+        shapes[task] = dict(env=env, R=R, nv=s.nv, ncmax=ncmax, nfl=nfl)
+        print(f"  {task}-v0: nv={s.nv} n_fric_dof={nfl} ncmax={ncmax} "
+              f"noslip_R={R}", flush=True)
+    return shapes
+
+
+def check_kernels(shapes, B):
+    """Kernel-vs-scan equivalence at every task's REAL noslip R and at
+    the real nv, with B >= 256 so the Pallas grid is > 1."""
+    ok = True
+    for i, (task, info) in enumerate(sorted(shapes.items())):
+        R, nv = info["R"], info["nv"]
+        fits = KR.noslip_pallas_fits(R)
+        args = random_noslip_problem(jax.random.PRNGKey(i), B, R)
+        want = jax.vmap(lambda *xs: KR._noslip_scan(*xs, 5))(*args)
+        got = jax.jit(jax.vmap(KR.make_noslip_sweep(5)))(*args)
+        ok &= _check(f"noslip_sweep[{task} R={R} B={B} "
+                     f"pallas={fits}]", got, want, 5e-4)
+
+        nefc = R + 3 * info["ncmax"]  # >= linesearch row count scale
+        largs = random_linesearch_problem(jax.random.PRNGKey(10 + i),
+                                          B, nefc)
+        want = jax.vmap(lambda *xs: KR._linesearch_ref(*xs, 12, 16))(*largs)
+        got = jax.jit(jax.vmap(KR.make_linesearch(12, 16)))(*largs)
+        ok &= _check(f"newton_linesearch[{task} R={nefc} B={B}]",
+                     got, want, 5e-4)
+
+        ks = jax.random.split(jax.random.PRNGKey(20 + i), 2)
+        G = jax.random.normal(ks[0], (B, nv, nv), jnp.float32)
+        H = jnp.einsum("bik,bjk->bij", G, G) / nv \
+            + 2.0 * jnp.eye(nv, dtype=jnp.float32)
+        g = jax.random.normal(ks[1], (B, nv), jnp.float32)
+        want = jnp.linalg.solve(H, g[..., None])[..., 0]
+        got = jax.jit(jax.vmap(KR.chol_solve))(H, g)
+        ok &= _check(f"chol_solve[{task} nv={nv} B={B}]", got, want, 2e-3)
+    return ok
+
+
+def check_pipeline(shapes, B, tasks):
+    """The real thing: jit vmap(env.step_auto_reset) at B (grid > 1)
+    with random actions, assert finiteness, and check lanes 0..127 match
+    a separate grid=1 call on the same states/actions."""
+    ok = True
+    for task in tasks:
+        env = shapes[task]["env"]
+        t0 = time.time()
+        reset = jax.jit(jax.vmap(env.reset))
+        vstep = jax.jit(jax.vmap(env.step_auto_reset))
+        state = reset(jax.random.split(jax.random.PRNGKey(0), B))
+        key = jax.random.PRNGKey(1)
+        for _ in range(3):
+            key, ka = jax.random.split(key)
+            a = jax.random.uniform(ka, (B, env.nu), jnp.float32, -1., 1.)
+            state = vstep(state, a)
+        jax.block_until_ready(state.obs)
+        finite = bool(jnp.all(jnp.isfinite(state.obs))
+                      & jnp.all(jnp.isfinite(state.data.qpos)))
+        ok &= _assert_true(
+            f"pipeline_step[{task} B={B}]", finite,
+            f"(3 steps, {time.time() - t0:.0f}s incl. compile)")
+
+        # Block-consistency: the same 128 lanes stepped alone (grid=1).
+        sub = jax.tree.map(lambda x: x[:128], state)
+        key, ka = jax.random.split(key)
+        a = jax.random.uniform(ka, (B, env.nu), jnp.float32, -1., 1.)
+        whole = vstep(state, a)
+        part = jax.jit(jax.vmap(env.step_auto_reset))(sub, a[:128])
+        # NaN quarantine resets use per-env RNG folded identically in
+        # both calls, so qpos must agree bitwise modulo f32 reduction
+        # order; allow tiny slack.
+        err = float(jnp.max(jnp.abs(whole.data.qpos[:128]
+                                    - part.data.qpos)))
+        ok &= _check(f"pipeline_block_consistency[{task}]",
+                     whole.data.qpos[:128], part.data.qpos, 1e-5)
+    return ok
+
+
 def main() -> int:
     print("backend:", jax.default_backend(), flush=True)
-    B = int(os.environ.get("KC_BATCH", 1024))
-    ok = True
-
-    # 1. noslip sweep (R = friction rows; hammer peaks ~100+).
-    args = random_noslip_problem(jax.random.PRNGKey(0), B, 118)
-    want = jax.vmap(lambda *xs: KR._noslip_scan(*xs, 5))(*args)
-    got = jax.jit(jax.vmap(KR.make_noslip_sweep(5)))(*args)
-    ok &= _check("noslip_sweep", got, want, 5e-4)
-
-    # 2. Newton exact linesearch (R = nefc rows).
-    largs = random_linesearch_problem(jax.random.PRNGKey(1), B, 130)
-    want = jax.vmap(lambda *xs: KR._linesearch_ref(*xs, 12, 16))(*largs)
-    got = jax.jit(jax.vmap(KR.make_linesearch(12, 16)))(*largs)
-    ok &= _check("newton_linesearch", got, want, 5e-4)
-
-    # 3. batched SPD Cholesky solve (nv=33, hammer).
-    ks = jax.random.split(jax.random.PRNGKey(2), 2)
-    G = jax.random.normal(ks[0], (B, 33, 33), jnp.float32)
-    H = jnp.einsum("bik,bjk->bij", G, G) / 33 \
-        + 2.0 * jnp.eye(33, dtype=jnp.float32)
-    g = jax.random.normal(ks[1], (B, 33), jnp.float32)
-    want = jnp.linalg.solve(H, g[..., None])[..., 0]
-    got = jax.jit(jax.vmap(KR.chol_solve))(H, g)
-    ok &= _check("chol_solve", got, want, 2e-3)
-
+    B = max(256, int(os.environ.get("KC_BATCH", 256)))
+    print("deriving shapes from built models:", flush=True)
+    shapes = task_shapes()
+    ok = check_kernels(shapes, B)
+    e2e_tasks = list(shapes) if os.environ.get("KC_ALL") else ["hammer"]
+    ok &= check_pipeline(shapes, B, e2e_tasks)
     print("ALL KERNELS OK" if ok else "KERNEL CHECK FAILED", flush=True)
     return 0 if ok else 1
 
