@@ -31,6 +31,23 @@ from mj_envs_tpu.physics.collision import driver as C
 NUM_ENVS = int(os.environ.get("NUM_ENVS", "1024"))
 TASK = os.environ.get("TASK", "hammer")
 REPS = int(os.environ.get("REPS", "5"))
+# Through the axon tunnel a single dispatch+sync costs ~25 ms of RTT,
+# swamping per-stage attribution.  AMORTIZE=K runs each stage K times
+# inside one jitted lax.scan (with a value dependency between
+# iterations so XLA cannot hoist the work) and reports time/K.
+AMORT = int(os.environ.get("AMORTIZE", "0"))
+
+
+def _amortized(fn, k: int):
+    def wrapped(qpos, qvel, ctrl):
+        def body(carry, _):
+            q, acc = carry
+            o = fn(q, qvel, ctrl)
+            return (q + 1e-30 * o, acc + o), ()
+        (_, acc), _ = jax.lax.scan(
+            body, (qpos, jnp.zeros((), qpos.dtype)), (), length=k)
+        return acc
+    return wrapped
 
 
 def make_stages(env):
@@ -118,8 +135,12 @@ def main():
     prof_dir = os.environ.get("PROFILE_DIR")
     rows = []
     for name, fn in make_stages(env):
-        f = jax.jit(jax.vmap(fn))
-        t = time_fn(f, (qpos, qvel, ctrl))
+        if AMORT > 1:
+            f = jax.jit(jax.vmap(_amortized(fn, AMORT)))
+            t = time_fn(f, (qpos, qvel, ctrl)) / AMORT
+        else:
+            f = jax.jit(jax.vmap(fn))
+            t = time_fn(f, (qpos, qvel, ctrl))
         rows.append((name, t))
         print(f"{name:28s} {t * 1e3:9.2f} ms "
               f"({NUM_ENVS / t:12.0f} substep-equiv/s)", flush=True)
