@@ -157,6 +157,66 @@ def compact(m: Model, con: Contact, ncmax: int) -> CompactContacts:
     )
 
 
+def _compact_batched(m: Model, con: Contact, ncmax: int) -> CompactContacts:
+    """Batched compaction as one-hot contractions (MXU) instead of per-env
+    nonzero + gather.
+
+    vmapped `compact` lowers to per-env gathers of (S, 3)/(S, 3, 3) values
+    with tiny trailing dims — ~10 ms of the 26 ms hammer substep at 1024
+    envs on TPU.  Here each output slot c selects the (c+1)-th active
+    candidate via an exact {0,1} one-hot built from a running rank, and the
+    value pickup is an einsum that rides the MXU (~1 ms).
+
+    Exactness: each output slot receives exactly one active slot's value
+    times 1.0 plus exact zeros (values are sanitized to 0 at inactive
+    candidates first, so a NaN in a non-selected slot cannot contaminate
+    the sum), so active outputs match compact() bit-for-bit.  Inactive
+    output slots are zero-filled rather than compact()'s clamped last-slot
+    gather; every consumer masks by `active` (make_rows row_live,
+    pipeline._sensors) so the difference is unobservable.
+    """
+    s = m.spec
+    dtype = con.dist.dtype
+    B, S = con.dist.shape
+    af = con.active.astype(dtype)                        # (B, S)
+    rank = jnp.cumsum(af, axis=1) - af                   # (B, S)
+    slots = jnp.arange(ncmax, dtype=dtype)
+    oh = (con.active[:, :, None]
+          & (rank[:, :, None] == slots)).astype(dtype)   # (B, S, C)
+
+    # Dynamic channels: dist | pos(3) | frame(9).
+    vals = jnp.concatenate(
+        [con.dist[..., None], con.pos, con.frame.reshape(B, S, 9)],
+        axis=-1)
+    vals = jnp.where(con.active[..., None], vals, 0.0)
+    out = jnp.einsum("bsc,bsv->bcv", oh, vals,
+                     precision=jax.lax.Precision.HIGHEST)    # (B, C, 13)
+
+    # Static per-slot tables: pairid | geom1 | geom2 | condim (all values
+    # < 2^24, exact in f32).
+    stat = jnp.stack([
+        jnp.asarray(s.con_pairid, dtype=dtype),
+        jnp.asarray(s.con_geom1, dtype=dtype),
+        jnp.asarray(s.con_geom2, dtype=dtype),
+        jnp.asarray(s.con_condim, dtype=dtype)], axis=-1)    # (S, 4)
+    out_s = jnp.einsum("bsc,sk->bck", oh, stat,
+                       precision=jax.lax.Precision.HIGHEST)  # (B, C, 4)
+
+    nact = jnp.sum(af, axis=1)                           # (B,)
+    valid = slots[None, :] < nact[:, None]               # (B, C)
+    ints = jnp.round(out_s).astype(jnp.int32)
+    return CompactContacts(
+        pairid=ints[..., 0],
+        dist=jnp.where(valid, out[..., 0], NP.BIG),
+        pos=out[..., 1:4],
+        frame=out[..., 4:13].reshape(B, ncmax, 3, 3),
+        active=valid,
+        geom1=ints[..., 1],
+        geom2=ints[..., 2],
+        condim=jnp.where(valid, ints[..., 3], 1),
+    )
+
+
 def _make_tangents_bm(n):
     """_make_tangents in batch-minor layout: n is (3, S, B)."""
     z_seed = jnp.abs(n[2]) < 0.5
@@ -282,11 +342,7 @@ def _make_collide_cv(ncmax: int):
                 kin.geom_xmat, (axis_size,) + kin.geom_xmat.shape))
         size_batched = bool(in_batched[0].geom_size)
         con = _narrowphase_all_batched(m, kin, size_batched)
-        # compact() only reads static tables from m — safe to close over.
-        cc = jax.vmap(
-            lambda d, p, f, a: compact(
-                m, Contact(dist=d, pos=p, frame=f, active=a), ncmax))(
-            con.dist, con.pos, con.frame, con.active)
+        cc = _compact_batched(m, con, ncmax)
         out_batched = (Contact(dist=True, pos=True, frame=True,
                                active=True),
                        CompactContacts(pairid=True, dist=True, pos=True,

@@ -82,6 +82,45 @@ def test_nan_quarantine_vmapped_isolation():
     assert np.all(np.isfinite(np.asarray(out.obs)))
 
 
+def test_compact_batched_matches_unbatched():
+    """The vmapped collide path compacts contacts via one-hot MXU
+    contractions (_compact_batched); active slots must match the
+    unbatched gather-based compact() bit-for-bit, on states with real
+    contact sets (settled hammer scenes)."""
+    from mj_envs_tpu.physics import pipeline
+    from mj_envs_tpu.physics import kinematics as K
+    from mj_envs_tpu.physics.collision import driver as C
+
+    env = envs.make("hammer-v0")
+    m = env.model
+    ncmax = pipeline._ncmax(m.spec)
+    B = 5
+    st = jax.jit(jax.vmap(env.reset))(
+        jax.random.split(jax.random.PRNGKey(4), B))
+    step = jax.jit(jax.vmap(env.step))
+    for _ in range(10):   # settle into contact-rich states
+        st = step(st, jnp.zeros((B, env.nu)))
+
+    kin_b = jax.jit(jax.vmap(lambda q: K.kinematics(m, q)))(st.data.qpos)
+    _, cc_b = jax.jit(
+        jax.vmap(lambda k: C.collide(m, k, ncmax)))(kin_b)
+
+    for i in range(B):
+        kin = jax.tree.map(lambda x: x[i], kin_b)
+        _, cc = jax.jit(lambda k: C.collide(m, k, ncmax))(kin)
+        act = np.asarray(cc.active)
+        assert act.sum() >= 2, "settled state should have contacts"
+        np.testing.assert_array_equal(act, np.asarray(cc_b.active[i]))
+        for field in ("pairid", "geom1", "geom2", "condim"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(cc, field))[act],
+                np.asarray(getattr(cc_b, field)[i])[act], err_msg=field)
+        for field in ("dist", "pos", "frame"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(cc, field))[act],
+                np.asarray(getattr(cc_b, field)[i])[act], err_msg=field)
+
+
 def test_contact_overflow_indicator():
     """compact() drops contacts beyond the ncmax active slots; the env
     must FLAG that instead of silently diverging (VERDICT r2 item 8).
