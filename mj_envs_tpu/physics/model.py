@@ -256,12 +256,17 @@ class Data:
     actuator_force: jnp.ndarray   # (nu,)
     sensordata: jnp.ndarray       # (nsensordata,)
 
-    contact: Contact
     efc_force: jnp.ndarray        # (nefc_cap,)
     ncon_active: jnp.ndarray      # () int32 — in-margin contacts BEFORE
                                   #  compaction; > the active cap means
                                   #  compact() silently dropped contacts
                                   #  (debug/parity overflow indicator)
+    # NOTE: the full per-slot contact buffer is deliberately NOT carried
+    # in Data: at ncon_cap=1020 slots it is ~53 KB/env (dist+pos+frame),
+    # i.e. ~216 MB of pure HBM write traffic per substep at 4096 envs,
+    # and nothing reads it back between steps.  Contact sets are
+    # available from pipeline.forward_core's ForwardOut (contact_full /
+    # contacts) for tests and tools.
 
 
 def make_data(model: Model, dtype=jnp.float64) -> Data:
@@ -288,12 +293,6 @@ def make_data(model: Model, dtype=jnp.float64) -> Data:
         ten_length=z(s.nten),
         actuator_force=z(s.nu),
         sensordata=z(s.nsensordata),
-        contact=Contact(
-            dist=jnp.full((s.ncon_cap,), 1e10, dtype=dtype),
-            pos=z(s.ncon_cap, 3),
-            frame=jnp.tile(jnp.eye(3, dtype=dtype), (s.ncon_cap, 1, 1)),
-            active=jnp.zeros((s.ncon_cap,), dtype=bool),
-        ),
         efc_force=z(s.nefc_cap),
         ncon_active=jnp.zeros((), dtype=jnp.int32),
     )

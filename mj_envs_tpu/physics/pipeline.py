@@ -205,7 +205,6 @@ def _write_caches(m: Model, d: Data, out: ForwardOut) -> Data:
         ten_length=out.act.ten_length,
         actuator_force=out.act.actuator_force,
         sensordata=out.sensordata,
-        contact=out.contact_full,
         efc_force=jnp.zeros_like(d.efc_force).at[
             :out.solve.efc_force.shape[0]].set(out.solve.efc_force),
         ncon_active=jnp.sum(out.contact_full.active).astype(jnp.int32),

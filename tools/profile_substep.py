@@ -97,6 +97,25 @@ def make_stages(env):
                              jnp.zeros_like(qacc_smooth), s.iterations)
         return res.qacc.sum()
 
+    def st_noslip(qpos, qvel, ctrl):
+        import numpy as np
+        kin = K.kinematics(m, qpos)
+        M = D.crb(m, kin)
+        vel = D.com_velocity(m, kin, qvel)
+        qfrc_bias = D.bias_force(m, kin, vel, qvel)
+        qfrc_passive = D.passive_force(m, qpos, qvel)
+        act = A.actuation(m, qpos, qvel, ctrl)
+        from mj_envs_tpu.physics.kernels import chol_solve
+        qacc_smooth = chol_solve(
+            M, act.qfrc_actuator + qfrc_passive - qfrc_bias)
+        _, cc = C.collide(m, kin, ncmax)
+        rows = CN.make_rows(m, kin, qpos, qvel, cc)
+        res = S.newton_solve(M, qacc_smooth, rows,
+                             jnp.zeros_like(qacc_smooth), s.iterations)
+        nfl = int(np.sum(s.dof_hasfrictionloss))
+        res = S.noslip(M, rows, res, nfl, ncmax, s.noslip_iterations)
+        return res.qacc.sum()
+
     def st_substep(qpos, qvel, ctrl):
         from mj_envs_tpu.physics.model import make_data
         d = make_data(m, dtype=qpos.dtype)
@@ -106,7 +125,8 @@ def make_stages(env):
 
     return [("kinematics", st_kin), ("smooth(FK+CRB+act+solve)",
             st_smooth), ("collide", st_collide), ("rows", st_rows),
-            ("newton(+prereqs)", st_newton), ("full substep", st_substep)]
+            ("newton(+prereqs)", st_newton), ("noslip(+prereqs)",
+            st_noslip), ("full substep", st_substep)]
 
 
 def time_fn(fn, args, reps=REPS):
