@@ -524,6 +524,143 @@ def _chol_solve_vmap(axis_size, in_batched, H, g):
     return x, True
 
 
+# ---------------------------------------------------------------------------
+# Batched SPD solve with MATRIX right-hand side
+#
+# solver.noslip needs X = M^-1 D^T (nv x R, R ~ 129).  XLA's batched
+# cholesky + triangular_solve with a matrix RHS lowers to row-sequential
+# loops over HBM operands — measured 18.9 ms at (4096, 33, 33) with a
+# 33-column RHS on v5e, the single largest cost inside noslip.  The
+# batch-minor Pallas version factorizes once per lane-block and runs the
+# two triangular sweeps on VMEM-resident (nv, R, B) tiles.
+# ---------------------------------------------------------------------------
+
+
+def _chol_solve_mat_kernel(H_ref, g_ref, x_out_ref, A_scr, Lt_scr, y_scr,
+                           *, nv: int):
+    """Solve H X = G per lane.  H (nv, nv, B) SPD; G (nv, R, B).
+
+    Identical factorization to _chol_solve_kernel; the forward/back
+    substitutions broadcast over the R RHS columns."""
+    from jax.experimental import pallas as pl
+    A_scr[:] = H_ref[:]
+    row_ids = jax.lax.broadcasted_iota(
+        jnp.int32, (nv, H_ref.shape[-1]), 0)
+
+    def fact_body(k, carry):
+        row_k = A_scr[k]                            # (nv, B) == A[:, k, :]
+        akk = jnp.sum(jnp.where(row_ids == k, row_k, 0.0),
+                      axis=0, keepdims=True)        # (1, B)
+        inv_s = jax.lax.rsqrt(akk)
+        c = row_k * inv_s
+        c = jnp.where(row_ids >= k, c, 0.0)
+        Lt_scr[k] = c
+        cu = jnp.where(row_ids > k, c, 0.0)
+        A_scr[:] = A_scr[:] - cu[:, None, :] * cu[None, :, :]
+        return carry
+
+    jax.lax.fori_loop(0, nv, fact_body, 0)
+
+    # Forward solve L Y = G (running column updates over all RHS).
+    y_scr[:] = g_ref[:]
+
+    def fwd_body(k, carry):
+        col = Lt_scr[k]                             # (nv, B), zeros above k
+        lkk = jnp.sum(jnp.where(row_ids == k, col, 0.0),
+                      axis=0, keepdims=True)        # (1, B)
+        yk = y_scr[k] / lkk                         # (R, B)
+        y_scr[pl.ds(k, 1), :, :] = yk[None]
+        sub = jnp.where(row_ids > k, col, 0.0)      # (nv, B)
+        y_scr[:] = y_scr[:] - sub[:, None, :] * yk[None, :, :]
+        return carry
+
+    jax.lax.fori_loop(0, nv, fwd_body, 0)
+
+    # Back solve L^T X = Y.
+    x_out_ref[:] = jnp.zeros_like(y_scr[:])
+
+    def bwd_body(kk, carry):
+        k = nv - 1 - kk
+        col = Lt_scr[k]                             # (nv, B)
+        mask = jnp.where(row_ids > k, col, 0.0)     # (nv, B)
+        dot = jnp.sum(mask[:, None, :] * x_out_ref[:],
+                      axis=0, keepdims=False)       # (R, B)
+        lkk = jnp.sum(jnp.where(row_ids == k, col, 0.0),
+                      axis=0, keepdims=True)        # (1, B)
+        xk = (y_scr[k] - dot) / lkk                 # (R, B)
+        x_out_ref[pl.ds(k, 1), :, :] = xk[None]
+        return carry
+
+    jax.lax.fori_loop(0, nv, bwd_body, 0)
+
+
+def _chol_solve_mat_pallas(H, G, block_b: int = 128):
+    """Batched SPD matrix solve: H (B, nv, nv), G (B, nv, R) -> (B, nv, R)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, nv, _ = H.shape
+    R = G.shape[-1]
+    pad = (-B) % block_b
+    if pad:
+        padf = lambda x: jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+        H, G = padf(H), padf(G)
+        eye = jnp.eye(nv, dtype=H.dtype)
+        lane = jnp.arange(B + pad) >= B
+        H = jnp.where(lane[:, None, None], eye[None], H)
+        B = B + pad
+
+    H_bm = jnp.transpose(H, (1, 2, 0))              # (nv, nv, B)
+    G_bm = jnp.transpose(G, (1, 2, 0))              # (nv, R, B)
+
+    mspec = pl.BlockSpec((nv, nv, block_b), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM)
+    gspec = pl.BlockSpec((nv, R, block_b), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM)
+    x_bm = pl.pallas_call(
+        functools.partial(_chol_solve_mat_kernel, nv=nv),
+        grid=(B // block_b,),
+        in_specs=[mspec, gspec],
+        out_specs=gspec,
+        out_shape=jax.ShapeDtypeStruct((nv, R, B), H.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((nv, nv, block_b), H.dtype),
+            pltpu.VMEM((nv, nv, block_b), H.dtype),
+            pltpu.VMEM((nv, R, block_b), H.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_BUDGET),
+        interpret=_INTERPRET,
+    )(H_bm, G_bm)
+    x = jnp.transpose(x_bm, (2, 0, 1))
+    return x[: x.shape[0] - pad] if pad else x
+
+
+@custom_batching.custom_vmap
+def chol_solve_mat(H, G):
+    """X = H^-1 G for SPD H and matrix G (nv, R).  Unbatched: jnp
+    Cholesky (parity path); vmapped on TPU f32: Pallas batch-minor
+    kernel; vmapped elsewhere: batched jnp Cholesky."""
+    L = jnp.linalg.cholesky(H)
+    return jax.scipy.linalg.cho_solve((L, True), G)
+
+
+@chol_solve_mat.def_vmap
+def _chol_solve_mat_vmap(axis_size, in_batched, H, G):
+    if not in_batched[0]:
+        H = jnp.broadcast_to(H, (axis_size,) + H.shape)
+    if not in_batched[1]:
+        G = jnp.broadcast_to(G, (axis_size,) + G.shape)
+    use_pallas = (H.dtype == jnp.float32
+                  and jax.default_backend() == "tpu")
+    if use_pallas:
+        x = _chol_solve_mat_pallas(H, G)
+    else:
+        L = jnp.linalg.cholesky(H)
+        x = jax.scipy.linalg.cho_solve((L, True), G)
+    return x, True
+
+
 # -- probe-problem generators (shared by tests/test_kernels.py and
 #    tools/tpu_kernel_check.py so the hardware check exercises exactly
 #    the distributions the interpret-mode tests validate) ---------------

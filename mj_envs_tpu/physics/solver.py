@@ -155,16 +155,6 @@ def noslip(M: jnp.ndarray, rows: Rows, res: SolveResult,
     nefc = rows.J.shape[0]
     dtype = M.dtype
 
-    # M^-1: plain inv on the f64 parity path (keeps the oracle-diffed
-    # trajectory bits stable), SPD Cholesky solve on f32 where inv's
-    # conditioning is the risk (VERDICT r1 hygiene item).
-    if dtype == jnp.float64:
-        Minv = jnp.linalg.inv(M)
-    else:
-        L_M = jnp.linalg.cholesky(M)
-        Minv = jax.scipy.linalg.cho_solve((L_M, True),
-                                          jnp.eye(nv, dtype=dtype))
-
     # Build the friction "update directions": one per dof-friction row and
     # one per (contact, friction-direction) facet pair.
     # dof rows are the first n_fric_dof rows; contact rows are the last
@@ -186,8 +176,24 @@ def noslip(M: jnp.ndarray, rows: Rows, res: SolveResult,
 
     D_all = jnp.concatenate([J_dof, Jd_pairs], axis=0)     # (R, nv)
     b_all = jnp.concatenate([b_dof, bd_pairs])
-    MD = D_all @ Minv                                      # (R, nv)
-    a_diag = jnp.sum(MD * D_all, axis=1)                   # (R,)
+
+    # X = M^-1 D^T is everything noslip needs from the mass matrix:
+    # A = D X, a_diag = diag(A), and the final qacc update is X (u-u0).
+    # f64 parity path: explicit inv, exactly the historical op order
+    # (keeps the oracle-diffed trajectory bits stable).  f32: SPD solve
+    # through kernels.chol_solve_mat — under vmap on TPU a Pallas
+    # batch-minor kernel (XLA's batched cholesky + matrix-RHS
+    # triangular_solve lowers to row-sequential HBM loops: 18.9 ms at
+    # (4096, 33, 33) on v5e, the largest single cost inside noslip).
+    if dtype == jnp.float64:
+        Minv = jnp.linalg.inv(M)
+        MD = D_all @ Minv                                  # (R, nv)
+        a_diag = jnp.sum(MD * D_all, axis=1)               # (R,)
+        X = MD.T                                           # (nv, R)
+    else:
+        from .kernels import chol_solve_mat
+        X = chol_solve_mat(M, D_all.T)                     # (nv, R)
+        a_diag = jnp.sum(D_all.T * X, axis=0)              # (R,)
     a_safe = jnp.where(a_diag > 1e-12, a_diag, 1.0)
 
     nR = n_fric_dof + ncmax * 3
@@ -214,12 +220,18 @@ def noslip(M: jnp.ndarray, rows: Rows, res: SolveResult,
     # the f64/CPU parity path, a Pallas VMEM-resident kernel on TPU f32
     # under vmap (identical update order; tests/test_kernels.py).
     from .kernels import noslip_sweep_cached
-    A = MD @ D_all.T                                       # (R, R)
+    if dtype == jnp.float64:
+        A = MD @ D_all.T                                   # (R, R)
+    else:
+        A = D_all @ X                                      # (R, R)
     gate = (live & (a_diag > 1e-12)).astype(dtype)
     r0 = D_all @ res.qacc - b_all                          # (R,)
 
     u = noslip_sweep_cached(iterations)(A, a_safe, lo, hi, gate, r0, u0)
-    qacc = res.qacc + Minv @ (D_all.T @ (u - u0))
+    if dtype == jnp.float64:
+        qacc = res.qacc + Minv @ (D_all.T @ (u - u0))
+    else:
+        qacc = res.qacc + X @ (u - u0)
 
     f_dof = u[:n_fric_dof]
     ud = u[n_fric_dof:]

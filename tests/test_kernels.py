@@ -101,6 +101,38 @@ def test_chol_solve_pallas_matches_dense(B, nv):
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.parametrize("B,nv,R", [(2, 5, 3), (130, 33, 129), (64, 36, 17)])
+def test_chol_solve_mat_pallas_matches_dense(B, nv, R):
+    ks = jax.random.split(jax.random.PRNGKey(4), 2)
+    G = jax.random.normal(ks[0], (B, nv, nv), jnp.float32)
+    H = jnp.einsum("bik,bjk->bij", G, G) / nv \
+        + 2.0 * jnp.eye(nv, dtype=jnp.float32)
+    rhs = jax.random.normal(ks[1], (B, nv, R), jnp.float32)
+    want = jnp.linalg.solve(H, rhs)
+    KR._INTERPRET = True
+    try:
+        got = KR._chol_solve_mat_pallas(H, rhs)
+    finally:
+        KR._INTERPRET = False
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_chol_solve_mat_custom_vmap_dispatch():
+    ks = jax.random.split(jax.random.PRNGKey(5), 2)
+    B, nv, R = 6, 8, 5
+    G = jax.random.normal(ks[0], (B, nv, nv))
+    H = jnp.einsum("bik,bjk->bij", G, G) / nv + 2.0 * jnp.eye(nv)
+    rhs = jax.random.normal(ks[1], (B, nv, R))
+    want = jnp.linalg.solve(H, rhs)
+    got1 = KR.chol_solve_mat(H[0], rhs[0])          # unbatched path
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(want[0]),
+                               rtol=1e-6, atol=1e-9)
+    gotB = jax.jit(jax.vmap(KR.chol_solve_mat))(H, rhs)   # CPU fallback
+    np.testing.assert_allclose(np.asarray(gotB), np.asarray(want),
+                               rtol=1e-6, atol=1e-9)
+
+
 def test_chol_solve_custom_vmap_dispatch():
     ks = jax.random.split(jax.random.PRNGKey(3), 2)
     B, nv = 6, 8

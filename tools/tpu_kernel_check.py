@@ -105,6 +105,13 @@ def check_kernels(shapes, B):
         want = jnp.linalg.solve(H, g[..., None])[..., 0]
         got = jax.jit(jax.vmap(KR.chol_solve))(H, g)
         ok &= _check(f"chol_solve[{task} nv={nv} B={B}]", got, want, 2e-3)
+
+        # Matrix-RHS solve at the real noslip shape (X = M^-1 D^T).
+        rhs = jax.random.normal(ks[1], (B, nv, R), jnp.float32)
+        want = jnp.linalg.solve(H, rhs)
+        got = jax.jit(jax.vmap(KR.chol_solve_mat))(H, rhs)
+        ok &= _check(f"chol_solve_mat[{task} nv={nv} R={R} B={B}]",
+                     got, want, 2e-3)
     return ok
 
 
