@@ -41,15 +41,24 @@ from ..physics.model import Model, Data, make_data
 
 @struct.dataclass
 class ModelVar:
-    """Per-env randomized model fields (a strict subset of Model leaves)."""
+    """Per-env randomized model fields — a strict, TASK-DEPENDENT subset
+    of Model leaves.  Only fields the task actually randomizes are
+    carried; the rest stay None (an unused field would become a batched
+    Model leaf under vmap and push every consumer — narrowphase sizes,
+    CRB masses, FK offsets — onto its per-env-batched path: measured
+    ~13% of the whole hammer substep at 4096 envs for fields that never
+    varied)."""
 
-    body_pos: jnp.ndarray     # (nbody, 3)
-    body_quat: jnp.ndarray    # (nbody, 4)
-    body_mass: jnp.ndarray    # (nbody,)
-    site_pos: jnp.ndarray     # (nsite, 3)
-    geom_pos: jnp.ndarray     # (ngeom, 3)
-    geom_size: jnp.ndarray    # (ngeom, 3)
-    geom_rgba: jnp.ndarray    # (ngeom, 4)
+    body_pos: Optional[jnp.ndarray] = None     # (nbody, 3)
+    body_quat: Optional[jnp.ndarray] = None    # (nbody, 4)
+    body_mass: Optional[jnp.ndarray] = None    # (nbody,)
+    site_pos: Optional[jnp.ndarray] = None     # (nsite, 3)
+    geom_pos: Optional[jnp.ndarray] = None     # (ngeom, 3)
+    geom_size: Optional[jnp.ndarray] = None    # (ngeom, 3)
+    geom_rgba: Optional[jnp.ndarray] = None    # (ngeom, 4)
+
+    FIELDS = ("body_pos", "body_quat", "body_mass", "site_pos",
+              "geom_pos", "geom_size", "geom_rgba")
 
 
 @struct.dataclass
@@ -87,11 +96,12 @@ class EnvState:
 
 
 def _apply_var(model: Model, var: ModelVar) -> Model:
-    return model.replace(
-        body_pos=var.body_pos, body_quat=var.body_quat,
-        body_mass=var.body_mass, site_pos=var.site_pos,
-        geom_pos=var.geom_pos, geom_size=var.geom_size,
-        geom_rgba=var.geom_rgba)
+    """Substitute the carried (non-None) randomized fields into the
+    shared Model.  Nones are static pytree structure, so this stays
+    jit/vmap-transparent."""
+    repl = {f: getattr(var, f) for f in ModelVar.FIELDS
+            if getattr(var, f) is not None}
+    return model.replace(**repl) if repl else model
 
 
 class AdroitEnv:
@@ -145,13 +155,16 @@ class AdroitEnv:
         """Subclasses resolve name->id constants here."""
         raise NotImplementedError
 
+    # Which Model fields this task randomizes at reset (subclasses
+    # override; hammer extends per variation_type).
+    VAR_FIELDS: Tuple[str, ...] = ("body_pos",)
+
+    def var_fields(self) -> Tuple[str, ...]:
+        return self.VAR_FIELDS
+
     def base_var(self) -> ModelVar:
         m = self.model
-        return ModelVar(
-            body_pos=m.body_pos, body_quat=m.body_quat,
-            body_mass=m.body_mass, site_pos=m.site_pos,
-            geom_pos=m.geom_pos, geom_size=m.geom_size,
-            geom_rgba=m.geom_rgba)
+        return ModelVar(**{f: getattr(m, f) for f in self.var_fields()})
 
     # -- task hooks -----------------------------------------------------------
 

@@ -22,6 +22,14 @@ class HammerEnv(AdroitEnv):
     OBS_DIM = 46
     SUCCESS_STEPS = 25
 
+    def var_fields(self):
+        """Board height always (body_pos); variations add their fields
+        (`hammer_v0.py:106-129`)."""
+        extra = {"mass": ("body_mass", "geom_rgba"),
+                 "pos": ("geom_pos",),
+                 "size": ("geom_size",)}.get(self.variation_type, ())
+        return ("body_pos",) + extra
+
     def _resolve_ids(self):
         s = self.spec
         self.target_obj_sid = s.name2id("site", "S_target")

@@ -23,6 +23,7 @@ class PenEnv(AdroitEnv):
     FRAME_SKIP = 5
     MAX_EPISODE_STEPS = 100
     OBS_DIM = 45
+    VAR_FIELDS = ("body_quat",)
     SUCCESS_STEPS = 20
 
     def _resolve_ids(self):

@@ -18,6 +18,7 @@ class RelocateEnv(AdroitEnv):
     FRAME_SKIP = 5
     MAX_EPISODE_STEPS = 200
     OBS_DIM = 39
+    VAR_FIELDS = ("body_pos", "site_pos")
     SUCCESS_STEPS = 25
 
     def _resolve_ids(self):

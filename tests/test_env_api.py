@@ -82,6 +82,40 @@ def test_nan_quarantine_vmapped_isolation():
     assert np.all(np.isfinite(np.asarray(out.obs)))
 
 
+def test_hammer_variation_var_fields():
+    """ModelVar carries ONLY the fields a task randomizes (sparse — an
+    unused field would push the physics onto batched-model paths);
+    hammer's variation_type extends the set, with reference bounds
+    (`hammer_v0.py:111-129`)."""
+    B = 16
+    keys = jax.random.split(jax.random.PRNGKey(5), B)
+
+    env = envs.make("hammer-v0")
+    var = jax.vmap(lambda k: env._reset_var(env.base_var(), k))(keys)
+    assert var.body_pos is not None and var.body_mass is None \
+        and var.geom_size is None and var.geom_pos is None
+
+    env = envs.make("hammer-v0", variation_type="mass")
+    var = jax.vmap(lambda k: env._reset_var(env.base_var(), k))(keys)
+    m = np.asarray(var.body_mass)[:, env.obj_bid]
+    assert var.geom_rgba is not None
+    assert m.min() >= 0.05 and m.max() <= 2.5 and m.std() > 0.1
+
+    env = envs.make("hammer-v0", variation_type="size")
+    var = jax.vmap(lambda k: env._reset_var(env.base_var(), k))(keys)
+    r = np.asarray(var.geom_size)[:, env.head_gid, 0]
+    assert r.min() >= 0.01 and r.max() <= 0.04 and r.std() > 1e-3
+    # and the batched-size physics path steps finitely
+    st = jax.jit(jax.vmap(env.reset))(keys)
+    st = jax.jit(jax.vmap(env.step))(st, jnp.zeros((B, env.nu)))
+    assert np.all(np.isfinite(np.asarray(st.obs)))
+
+    env = envs.make("hammer-v0", variation_type="pos")
+    var = jax.vmap(lambda k: env._reset_var(env.base_var(), k))(keys)
+    x = np.asarray(var.geom_pos)[:, env.head_gid, 0]
+    assert x.min() >= -0.24 and x.max() <= -0.10 and x.std() > 1e-3
+
+
 def test_compact_batched_matches_unbatched():
     """The vmapped collide path compacts contacts via one-hot MXU
     contractions (_compact_batched); active slots must match the
