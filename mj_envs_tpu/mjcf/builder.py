@@ -40,7 +40,8 @@ def _contact_rows(condim: int) -> int:
     return 2 * (condim - 1)
 
 
-def build(spec: P.MjcfSpec, dtype=np.float64) -> Model:
+def build(spec: P.MjcfSpec, dtype=np.float64,
+          xml_path: str | None = None) -> Model:
     # Drop mesh geoms: visual-only in this suite (class D_Vizual =>
     # contype=conaffinity=0, and every meshed body has an explicit
     # <inertial>).  The broken Adroit submodule means the STLs are absent;
@@ -436,7 +437,7 @@ def build(spec: P.MjcfSpec, dtype=np.float64) -> Model:
 
     import jax
     model = jax.device_put(model)   # one batched host->device transfer
-    return _set_invweights(model)
+    return _set_invweights(model, xml_path=xml_path)
 
 
 _INVWEIGHT_CACHE_VERSION = 1
@@ -471,9 +472,17 @@ def _invweight_cache_path(model: Model) -> str:
     return os.path.join(cache_dir, h.hexdigest()[:24] + ".npz")
 
 
-def _set_invweights(model: Model) -> Model:
-    import jax
-    path = _invweight_cache_path(model)
+def _invweight_asset_path(model: Model) -> str:
+    """Committed copy of the invweight results (tools/gen_invweights.py):
+    unlike `.jax_cache/` these survive a fresh clone, so `envs.make()` on
+    a cold TPU machine never pays the multi-minute tunnel compile of the
+    mj_setConst program (round-3 measurement: 343 s through axon)."""
+    base = os.path.basename(_invweight_cache_path(model))
+    return os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "assets", "invweights", base)
+
+
+def _load_invweights(model: Model, path: str) -> Model | None:
     try:
         with np.load(path) as z:
             return model.replace(
@@ -481,7 +490,56 @@ def _set_invweights(model: Model) -> Model:
                 body_invweight0=jnp.asarray(z["body"], model.qpos0.dtype),
                 ten_invweight0=jnp.asarray(z["ten"], model.qpos0.dtype))
     except (OSError, KeyError):
+        return None
+
+
+def _invweights_via_cpu_subprocess(xml_path: str, dtype) -> bool:
+    """Recompute the invweights for (xml_path, dtype) in a CPU child and
+    populate the .jax_cache npz.  Returns True on success.
+
+    Used when a non-CPU (axon/TPU) process misses both caches: computing
+    in-process would compile mj_setConst through the tunnel (minutes),
+    and CPU-committed arrays inside an axon process degrade later TPU
+    dispatch (see `_set_invweights_jit`); a throwaway CPU child has
+    neither problem."""
+    import subprocess
+    import sys
+    env = dict(os.environ)
+    try:
+        from ..utils.hostcpu import scrub_axon_env
+        env = scrub_axon_env(env)
+    except Exception:
         pass
+    env["JAX_PLATFORMS"] = "cpu"
+    # x64 so an f64 request stays f64 on the child (f32 builds carry
+    # explicit dtypes and are unaffected).
+    env["JAX_ENABLE_X64"] = "1"
+    code = ("import sys; "
+            "from mj_envs_tpu.utils.hostcpu import pin_cpu; pin_cpu(); "
+            "from mj_envs_tpu.mjcf import builder as B; "
+            "import numpy as np; "
+            "B.build_from_xml(sys.argv[1], dtype=np.dtype(sys.argv[2]))")
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code, xml_path, np.dtype(dtype).name],
+            env=env, timeout=600, capture_output=True)
+        return r.returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
+def _set_invweights(model: Model, xml_path: str | None = None) -> Model:
+    import jax
+    path = _invweight_cache_path(model)
+    for p in (path, _invweight_asset_path(model)):
+        got = _load_invweights(model, p)
+        if got is not None:
+            return got
+    if xml_path is not None and jax.default_backend() != "cpu":
+        if _invweights_via_cpu_subprocess(xml_path, model.qpos0.dtype):
+            got = _load_invweights(model, path)
+            if got is not None:
+                return got
     model = _set_invweights_jit(model)
     try:
         os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -547,4 +605,4 @@ def _set_invweights_impl(model: Model) -> Model:
 
 
 def build_from_xml(path: str, dtype=np.float64) -> Model:
-    return build(P.parse_mjcf(path), dtype=dtype)
+    return build(P.parse_mjcf(path), dtype=dtype, xml_path=path)

@@ -212,3 +212,21 @@ def test_vendored_assets_build_identical():
                 assert a == b, f"spec.{k}: {a!r} != {b!r}"
         for a, b in zip(lv, lr):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_invweight_assets_committed():
+    """Cold-clone `envs.make()` must never recompute invweights in-process
+    on a TPU host (one fresh mj_setConst compile through the axon tunnel
+    measured 343 s in round 3): the committed package-data npz under
+    mj_envs_tpu/assets/invweights/ must cover every task at both runtime
+    dtypes.  If a model or invweight-math change rolls the content hash,
+    rerun `python tools/gen_invweights.py` (with JAX_ENABLE_X64=1)."""
+    import os
+    from mj_envs_tpu.mjcf import builder, task_xml_path
+    for task in TASKS:
+        for dtype in (np.float32, np.float64):
+            m = builder.build_from_xml(task_xml_path(task), dtype=dtype)
+            path = builder._invweight_asset_path(m)
+            assert os.path.exists(path), (
+                f"missing committed invweights for {task}/{np.dtype(dtype).name}:"
+                f" {path} — run tools/gen_invweights.py")
