@@ -25,12 +25,11 @@ from ..physics.model import (
 from . import parser as P
 
 # Max contacts the narrowphase emits per geom-type pair: single source of
-# truth is the collision driver's dispatch table.
-from ..physics.collision.driver import _FNS as _NARROWPHASE_FNS
+# truth is the collision driver's dispatch table (slot budget AFTER the
+# driver's within-pair candidate squeeze, e.g. box_box 24 -> 8).
+from ..physics.collision.driver import _SLOTS as _NARROWPHASE_SLOTS
 
-_MAXCON: Dict[Tuple[int, int], int] = {
-    key: maxcon for key, (_fn, maxcon) in _NARROWPHASE_FNS.items()
-}
+_MAXCON: Dict[Tuple[int, int], int] = dict(_NARROWPHASE_SLOTS)
 
 
 def _contact_rows(condim: int) -> int:

@@ -35,6 +35,14 @@ _FNS = {
     (GEOM_BOX, GEOM_BOX): (NP.box_box, 24),
 }
 
+# Contact SLOTS a pair contributes to the global buffer.  box_box emits 24
+# manifold *candidates* but at most 8 are geometrically valid (the rect-quad
+# intersection polygon has <= 8 vertices, narrowphase.py:964-1057) — they
+# are squeezed to 8 slots right after the narrowphase, exactly (order
+# preserved, values bit-identical), shrinking every downstream
+# (ncon_cap, batch) buffer: hammer's cap drops 1020 -> 700.
+_SLOTS = {key: min(mc, 8) for key, (fn, mc) in _FNS.items()}
+
 
 class CompactContacts(NamedTuple):
     """Fixed-capacity active contact set (ncmax slots)."""
@@ -63,6 +71,47 @@ def _make_tangents(n: jnp.ndarray):
                           1e-12)
     t2 = jnp.cross(n, t1)
     return t1, t2
+
+
+def _squeeze_slots(d, p, n, out_c: int):
+    """Keep the first `out_c` produced candidates per pair, slot order
+    preserved, values bit-identical (each output is 1.0 x one candidate
+    + exact zeros).  A candidate is 'produced' when dist < BIG/2; the
+    narrowphase guarantees at most `out_c` of them per pair (box_box:
+    the intersection polygon has <= 8 vertices), so nothing is dropped.
+    Layouts: d (P, C); p, n (P, C, 3)."""
+    dtype = d.dtype
+    valid = d < NP.BIG / 2
+    vf = valid.astype(dtype)
+    rank = jnp.cumsum(vf, axis=1) - vf
+    slots = jnp.arange(out_c, dtype=dtype)
+    oh = (valid[..., None] & (rank[..., None] == slots)).astype(dtype)
+    hit = jnp.sum(oh, axis=1)                              # (P, O)
+    d_out = jnp.einsum("pc,pco->po", jnp.where(valid, d, 0.0), oh) \
+        + NP.BIG * (1.0 - hit)
+    vm = valid[..., None]
+    p_out = jnp.einsum("pck,pco->pok", jnp.where(vm, p, 0.0), oh)
+    n_out = jnp.einsum("pck,pco->pok", jnp.where(vm, n, 0.0), oh)
+    return d_out, p_out, n_out
+
+
+def _squeeze_slots_bm(d, p, n, out_c: int):
+    """_squeeze_slots in batch-minor layout: d (C, P, B); p, n
+    (C, 3, P, B).  Same arithmetic (sums of exact zeros + the selected
+    value), so both paths agree bit-for-bit."""
+    dtype = d.dtype
+    valid = d < NP.BIG / 2
+    vf = valid.astype(dtype)
+    rank = jnp.cumsum(vf, axis=0) - vf
+    slots = jnp.arange(out_c, dtype=dtype)[:, None, None, None]
+    oh = (valid[None] & (rank[None] == slots)).astype(dtype)  # (O,C,P,B)
+    hit = jnp.sum(oh, axis=1)                              # (O, P, B)
+    d_out = jnp.einsum("cpb,ocpb->opb", jnp.where(valid, d, 0.0), oh) \
+        + NP.BIG * (1.0 - hit)
+    vm = valid[:, None]
+    p_out = jnp.einsum("ckpb,ocpb->okpb", jnp.where(vm, p, 0.0), oh)
+    n_out = jnp.einsum("ckpb,ocpb->okpb", jnp.where(vm, n, 0.0), oh)
+    return d_out, p_out, n_out
 
 
 def narrowphase_all(m: Model, kin: Kin) -> Contact:
@@ -121,6 +170,8 @@ def narrowphase_all(m: Model, kin: Kin) -> Contact:
             xpos1[sl], xmat1[sl], size1_all[sl],
             xpos2[sl], xmat2[sl], size2_all[sl],
             m.pair_margin[pids_np])
+        if _SLOTS[key] < maxcon:
+            d_g, p_g, n_g = _squeeze_slots(d_g, p_g, n_g, _SLOTS[key])
         chunks_d.append(d_g.reshape(-1).astype(dtype))
         chunks_p.append(p_g.reshape(-1, 3).astype(dtype))
         chunks_n.append(n_g.reshape(-1, 3).astype(dtype))
@@ -133,23 +184,24 @@ def narrowphase_all(m: Model, kin: Kin) -> Contact:
 
     margin = m.pair_margin[s.con_pairid]
     active = dist < margin
-    t1, t2 = _make_tangents(nrm)
-    frame = jnp.stack([nrm, t1, t2], axis=-2)
-    return Contact(dist=dist, pos=pos, frame=frame, active=active)
+    return Contact(dist=dist, pos=pos, nrm=nrm, active=active)
 
 
 def compact(m: Model, con: Contact, ncmax: int) -> CompactContacts:
-    """Select up to ncmax active slots (slot order preserved)."""
+    """Select up to ncmax active slots (slot order preserved).  The
+    [n, t1, t2] frame is built here, on the selected normals only."""
     s = m.spec
     idx = jnp.nonzero(con.active, size=ncmax, fill_value=s.ncon_cap)[0]
     valid = idx < s.ncon_cap
     idx_c = jnp.minimum(idx, s.ncon_cap - 1)
     pairid = jnp.asarray(s.con_pairid)[idx_c]
+    nrm = con.nrm[idx_c]
+    t1, t2 = _make_tangents(nrm)
     return CompactContacts(
         pairid=pairid,
         dist=jnp.where(valid, con.dist[idx_c], NP.BIG),
         pos=con.pos[idx_c],
-        frame=con.frame[idx_c],
+        frame=jnp.stack([nrm, t1, t2], axis=-2),
         active=valid,
         geom1=jnp.asarray(s.con_geom1)[idx_c],
         geom2=jnp.asarray(s.con_geom2)[idx_c],
@@ -184,52 +236,39 @@ def _compact_batched(m: Model, con: Contact, ncmax: int) -> CompactContacts:
     oh = (con.active[:, :, None]
           & (rank[:, :, None] == slots)).astype(dtype)   # (B, S, C)
 
-    # Dynamic channels: dist | pos(3) | frame(9).
-    vals = jnp.concatenate(
-        [con.dist[..., None], con.pos, con.frame.reshape(B, S, 9)],
-        axis=-1)
-    vals = jnp.where(con.active[..., None], vals, 0.0)
-    out = jnp.einsum("bsc,bsv->bcv", oh, vals,
-                     precision=jax.lax.Precision.HIGHEST)    # (B, C, 13)
-
-    # Static per-slot tables: pairid | geom1 | geom2 | condim (all values
-    # < 2^24, exact in f32).
+    # Dynamic channels dist | pos(3) | nrm(3) plus the static per-slot
+    # tables pairid | geom1 | geom2 | condim (values < 2^24, exact in
+    # f32), all in ONE contraction so the (B, S, C) one-hot is read once.
     stat = jnp.stack([
         jnp.asarray(s.con_pairid, dtype=dtype),
         jnp.asarray(s.con_geom1, dtype=dtype),
         jnp.asarray(s.con_geom2, dtype=dtype),
         jnp.asarray(s.con_condim, dtype=dtype)], axis=-1)    # (S, 4)
-    out_s = jnp.einsum("bsc,sk->bck", oh, stat,
-                       precision=jax.lax.Precision.HIGHEST)  # (B, C, 4)
+    vals = jnp.concatenate(
+        [jnp.where(con.active[..., None],
+                   jnp.concatenate([con.dist[..., None], con.pos,
+                                    con.nrm], axis=-1), 0.0),
+         jnp.broadcast_to(stat, (B, S, 4))], axis=-1)    # (B, S, 11)
+    out = jnp.einsum("bsc,bsv->bcv", oh, vals,
+                     precision=jax.lax.Precision.HIGHEST)    # (B, C, 11)
 
     nact = jnp.sum(af, axis=1)                           # (B,)
     valid = slots[None, :] < nact[:, None]               # (B, C)
-    ints = jnp.round(out_s).astype(jnp.int32)
+    # Static channels: each active output slot sums exactly one 1.0 x
+    # table value; inactive slots sum to 0 (handled by the masks below).
+    ints = jnp.round(out[..., 7:11]).astype(jnp.int32)
+    nrm = out[..., 4:7]
+    t1, t2 = _make_tangents(nrm)
     return CompactContacts(
         pairid=ints[..., 0],
         dist=jnp.where(valid, out[..., 0], NP.BIG),
         pos=out[..., 1:4],
-        frame=out[..., 4:13].reshape(B, ncmax, 3, 3),
+        frame=jnp.stack([nrm, t1, t2], axis=-2),
         active=valid,
         geom1=ints[..., 1],
         geom2=ints[..., 2],
         condim=jnp.where(valid, ints[..., 3], 1),
     )
-
-
-def _make_tangents_bm(n):
-    """_make_tangents in batch-minor layout: n is (3, S, B)."""
-    z_seed = jnp.abs(n[2]) < 0.5
-    zs = z_seed.astype(n.dtype)
-    # e = e_z when z_seed else e_y
-    e = jnp.stack([jnp.zeros_like(n[0]), 1.0 - zs, zs])
-    ne = jnp.sum(n * e, axis=0)
-    t1 = e - n * ne
-    t1 = t1 / jnp.maximum(jnp.sqrt(jnp.sum(t1 * t1, axis=0)), 1e-12)
-    t2 = jnp.stack([n[1] * t1[2] - n[2] * t1[1],
-                    n[2] * t1[0] - n[0] * t1[2],
-                    n[0] * t1[1] - n[1] * t1[0]])
-    return t1, t2
 
 
 def _narrowphase_all_batched(m: Model, kin: Kin,
@@ -288,6 +327,8 @@ def _narrowphase_all_batched(m: Model, kin: Kin,
                          out_axes=-1)                          # over B
         d_g, p_g, n_g = outer(xp1, xm1, s1, xp2, xm2, s2, marg)
         # d_g (C, P, B); p_g/n_g (C, 3, P, B) -> slot-major batch-minor
+        if _SLOTS[key] < d_g.shape[0]:
+            d_g, p_g, n_g = _squeeze_slots_bm(d_g, p_g, n_g, _SLOTS[key])
         C = d_g.shape[0]
         chunks_d.append(jnp.transpose(d_g, (1, 0, 2))
                         .reshape(P * C, B).astype(dtype))
@@ -303,15 +344,13 @@ def _narrowphase_all_batched(m: Model, kin: Kin,
 
     margin = jnp.asarray(m.pair_margin)[np.asarray(s.con_pairid)]
     active_bm = dist_bm < margin[:, None]
-    t1, t2 = _make_tangents_bm(nrm_bm)
-    # (row, comp, S, B): frame_bm[r] is frame row r (n, t1, t2).
-    frame_bm = jnp.stack([nrm_bm, t1, t2], axis=0)
 
-    # Back to AoS for the downstream (rows/solver) stages.
+    # Back to AoS for the downstream (rows/solver) stages; the contact
+    # frame is built post-compaction on the <= ncmax selected normals.
     return Contact(
         dist=dist_bm.T,
         pos=jnp.transpose(pos_bm, (2, 1, 0)),
-        frame=jnp.transpose(frame_bm, (3, 2, 0, 1)),
+        nrm=jnp.transpose(nrm_bm, (2, 1, 0)),
         active=active_bm.T,
     )
 
@@ -343,7 +382,7 @@ def _make_collide_cv(ncmax: int):
         size_batched = bool(in_batched[0].geom_size)
         con = _narrowphase_all_batched(m, kin, size_batched)
         cc = _compact_batched(m, con, ncmax)
-        out_batched = (Contact(dist=True, pos=True, frame=True,
+        out_batched = (Contact(dist=True, pos=True, nrm=True,
                                active=True),
                        CompactContacts(pairid=True, dist=True, pos=True,
                                        frame=True, active=True, geom1=True,

@@ -102,15 +102,19 @@ def make_rows(m: Model, kin: Kin, qpos: jnp.ndarray, qvel: jnp.ndarray,
         sgn = jnp.where(lower, 1.0, -1.0)
         margin = m.jnt_margin[lim_jnts]
         act = dist < margin
-        Jl = jnp.zeros((len(lim_jnts), nv), dtype=dtype)
-        Jl = Jl.at[jnp.arange(len(lim_jnts)), lim_jnts].set(sgn)
+        # One-hot multiply, not .at[] scatter: under vmap a batched-value
+        # scatter lowers to a serial per-env op on TPU.
+        E_lim = np.zeros((len(lim_jnts), nv), dtype=np.float32)
+        E_lim[np.arange(len(lim_jnts)), lim_jnts] = 1.0
+        Jl = jnp.asarray(E_lim, dtype=dtype) * sgn[:, None]
         imp = _impedance(m.jnt_solimp_lim[lim_jnts], dist - margin)
         k, b = _kb(m.jnt_solref_lim[lim_jnts], m.jnt_solimp_lim[lim_jnts])
         aref = -b * (sgn * qvel[lim_jnts]) - k * imp * (dist - margin)
         R = jnp.maximum(MINVAL,
                         (1 - imp) / imp * m.dof_invweight0[lim_jnts])
-        Js.append(Jl)
-        arefs.append(aref)
+        actf = act.astype(dtype)
+        Js.append(Jl * actf[:, None])
+        arefs.append(aref * actf)
         Rs.append(R)
         fls.append(jnp.zeros(len(lim_jnts), dtype=dtype))
         actives.append(act)
@@ -137,8 +141,9 @@ def make_rows(m: Model, kin: Kin, qpos: jnp.ndarray, qvel: jnp.ndarray,
         aref = -b * (Jt @ qvel) - k * imp * (dist - margin)
         R = jnp.maximum(MINVAL,
                         (1 - imp) / imp * m.ten_invweight0[lim_tens])
-        Js.append(Jt)
-        arefs.append(aref)
+        actf = act.astype(dtype)
+        Js.append(Jt * actf[:, None])
+        arefs.append(aref * actf)
         Rs.append(R)
         fls.append(jnp.zeros(len(lim_tens), dtype=dtype))
         actives.append(act)
@@ -147,8 +152,18 @@ def make_rows(m: Model, kin: Kin, qpos: jnp.ndarray, qvel: jnp.ndarray,
 
     # ---- contact rows (ncmax x 6 facet slots) ------------------------------
     ncmax = con.dist.shape[0]
-    b1 = jnp.asarray(s.geom_bodyid)[con.geom1]
-    b2 = jnp.asarray(s.geom_bodyid)[con.geom2]
+    # Per-pair body ids / translational invweights are static model data:
+    # look them up per PAIR (2-D tables, one vectorized gather each) rather
+    # than per contact body — scalar (1-D-table) gathers under vmap lower
+    # to ~1 ms serial ops on TPU (round-4 trace: constraint.py gathers were
+    # ~4.5 ms of the 44.6 ms hammer substep at 4096 envs).
+    gb = np.asarray(s.geom_bodyid)
+    pair_bodies = jnp.asarray(
+        np.stack([gb[np.asarray(s.pair_geom1)],
+                  gb[np.asarray(s.pair_geom2)]], axis=1))      # (P, 2)
+    bp = pair_bodies[con.pairid]                               # (C, 2)
+    b1 = bp[..., 0]
+    b2 = bp[..., 1]
     jac1p, jac1r = point_jacobian(m, kin, con.pos, b1)   # (C, 3, nv)
     jac2p, jac2r = point_jacobian(m, kin, con.pos, b2)
     djp = jac2p - jac1p
@@ -156,22 +171,35 @@ def make_rows(m: Model, kin: Kin, qpos: jnp.ndarray, qvel: jnp.ndarray,
     n = con.frame[:, 0]
     t1 = con.frame[:, 1]
     t2 = con.frame[:, 2]
-    Jn = jnp.einsum("ck,ckv->cv", n, djp)                # (C, nv)
-    Jt1 = jnp.einsum("ck,ckv->cv", t1, djp)
-    Jt2 = jnp.einsum("ck,ckv->cv", t2, djp)
-    Jtor = jnp.einsum("ck,ckv->cv", n, djr)
+    # Broadcast-multiply-sum over the 3-wide spatial axis (k): einsum
+    # here becomes a batched 3-wide dot_general padded to the MXU.
+    Jn = jnp.sum(n[..., None] * djp, axis=-2)            # (C, nv)
+    Jt1 = jnp.sum(t1[..., None] * djp, axis=-2)
+    Jt2 = jnp.sum(t2[..., None] * djp, axis=-2)
+    Jtor = jnp.sum(n[..., None] * djr, axis=-2)
 
-    mu = m.pair_friction[con.pairid]                     # (C, 5)
-    margin = m.pair_margin[con.pairid]
-    gap = m.pair_gap[con.pairid]
+    # All per-pair solver parameters in ONE (P, 16) table -> one gather.
+    invw_pair = (m.body_invweight0[pair_bodies[:, 0], 0]
+                 + m.body_invweight0[pair_bodies[:, 1], 0])    # (P,) static
+    ptab = jnp.concatenate(
+        [m.pair_friction,                                # 0:5   mu
+         m.pair_margin[:, None],                         # 5     margin
+         m.pair_gap[:, None],                            # 6     gap
+         m.pair_solref,                                  # 7:9
+         m.pair_solimp,                                  # 9:14
+         invw_pair[:, None],                             # 14
+         jnp.zeros_like(invw_pair)[:, None]], axis=-1)   # pad to 16
+    prow = ptab[con.pairid]                              # (C, 16)
+    mu = prow[..., 0:5]
+    margin = prow[..., 5]
+    gap = prow[..., 6]
+    solref = prow[..., 7:9]
+    solimp = prow[..., 9:14]
+    invw = prow[..., 14]
     incmargin = margin - gap
-    solref = m.pair_solref[con.pairid]
-    solimp = m.pair_solimp[con.pairid]
     pos_m = con.dist - incmargin
     imp = _impedance(solimp, pos_m)                      # (C,)
     k, b = _kb(solref, solimp)
-
-    invw = (m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0])
     mu1 = mu[:, 0]
     # mj_diagApprox, determined empirically against the oracle across
     # mu in {0.1..3} and condim in {1,3,4}: pyramidal rows use
@@ -207,10 +235,11 @@ def make_rows(m: Model, kin: Kin, qpos: jnp.ndarray, qvel: jnp.ndarray,
     R_c = jnp.broadcast_to(
         jnp.maximum(MINVAL, ((1 - imp) / imp)[:, None] * diag),
         (ncmax, 6))
-    aref_c = jnp.broadcast_to(aref_c, (ncmax, 6))
-
-    Js.append(Jc.reshape(-1, nv))
-    arefs.append(aref_c.reshape(-1))
+    # Mask the facet rows HERE (fused into the Jc/aref_c producers) so no
+    # full-nefc `where` pass over J is needed after the concatenate.
+    livef = row_live.astype(dtype)
+    Js.append((Jc * livef[..., None]).reshape(-1, nv))
+    arefs.append((aref_c * livef).reshape(-1))
     Rs.append(R_c.reshape(-1))
     fls.append(jnp.zeros(ncmax * 6, dtype=dtype))
     actives.append(row_live.reshape(-1))
@@ -225,8 +254,7 @@ def make_rows(m: Model, kin: Kin, qpos: jnp.ndarray, qvel: jnp.ndarray,
     oneside = jnp.concatenate(onesides)
     pos = jnp.concatenate(poss)
     D = jnp.where(active, 1.0 / R, 0.0)
-    # Inactive rows are fully neutralized.
-    J = jnp.where(active[:, None], J, 0.0)
-    aref = jnp.where(active, aref, 0.0)
+    # Inactive rows were neutralized piecewise above (fric rows are always
+    # active; limit/tendon/contact pieces are multiplied by their masks).
     return Rows(J=J, aref=aref, D=D, R=R, floss=floss, active=active,
                 oneside=oneside, pos=pos)

@@ -113,8 +113,12 @@ def kinematics(m: Model, qpos: jnp.ndarray) -> Kin:
     cdof = jnp.concatenate([ang, lin], axis=-1)
 
     # Spatial inertia per body at its tree-root com, world axes.
-    inert_world = jnp.einsum(
-        "bij,bj,bkj->bik", ximat, m.body_inertia, ximat)
+    # Broadcast-multiply-sum, not einsum: batched 3x3 dot_generals pad to
+    # the 128-wide MXU and were ~1.4 ms/substep at 4096 envs (round-4
+    # trace); the elementwise form fuses on the VPU.
+    tmp = ximat * m.body_inertia[..., None, :]             # R diag(I)
+    inert_world = jnp.sum(
+        tmp[..., :, None, :] * ximat[..., None, :, :], axis=-1)
     cinert = maths.spatial_inertia(mass, inert_world, xipos - root_com)
 
     return Kin(xpos=xpos, xquat=xquat, xmat=xmat, xipos=xipos,

@@ -226,7 +226,9 @@ class Contact:
 
     dist: jnp.ndarray     # (ncon_cap,) signed distance (penetration < 0)
     pos: jnp.ndarray      # (ncon_cap, 3) midpoint
-    frame: jnp.ndarray    # (ncon_cap, 3, 3) rows = [normal, tan1, tan2]
+    nrm: jnp.ndarray      # (ncon_cap, 3) contact normal (geom1 -> geom2);
+                          #  the full [n, t1, t2] frame is built only for
+                          #  the <= ncmax compacted slots (CompactContacts)
     active: jnp.ndarray   # (ncon_cap,) bool — dist < includemargin
 
 

@@ -161,18 +161,18 @@ def noslip(M: jnp.ndarray, rows: Rows, res: SolveResult,
     # ncmax*6, laid out [+t1, -t1, +t2, -t2, +tor, -tor] per contact.
     con_base = nefc - ncmax * 6
 
-    # Direction matrices (static structure).
-    # dof friction: d_k = J_row (unit dof row).
-    idx_dof = jnp.arange(n_fric_dof)
-    # facet pairs: Jd = (J+ - J-) / 2 = mu * Jt ; bd = (aref+ - aref-)/2.
-    pair_plus = con_base + jnp.arange(ncmax * 3) * 2
-    pair_minus = pair_plus + 1
-
+    # Direction matrices (static structure).  Facet +/- pairs are adjacent
+    # rows of the contact block — address them by reshape, not strided
+    # gathers (strided row gathers of J-sized arrays lower poorly on TPU).
+    # dof friction: d_k = J_row (unit dof row); facet pairs:
+    # Jd = (J+ - J-) / 2 = mu * Jt ; bd = (aref+ - aref-) / 2.
     J = rows.J
-    Jd_pairs = 0.5 * (J[pair_plus] - J[pair_minus])        # (3C, nv)
-    bd_pairs = 0.5 * (rows.aref[pair_plus] - rows.aref[pair_minus])
-    J_dof = J[idx_dof]
-    b_dof = rows.aref[idx_dof]
+    Jcon = J[con_base:].reshape(ncmax * 3, 2, nv)
+    Jd_pairs = 0.5 * (Jcon[:, 0] - Jcon[:, 1])             # (3C, nv)
+    acon = rows.aref[con_base:].reshape(ncmax * 3, 2)
+    bd_pairs = 0.5 * (acon[:, 0] - acon[:, 1])
+    J_dof = J[:n_fric_dof]
+    b_dof = rows.aref[:n_fric_dof]
 
     D_all = jnp.concatenate([J_dof, Jd_pairs], axis=0)     # (R, nv)
     b_all = jnp.concatenate([b_dof, bd_pairs])
@@ -196,14 +196,15 @@ def noslip(M: jnp.ndarray, rows: Rows, res: SolveResult,
         a_diag = jnp.sum(D_all.T * X, axis=0)              # (R,)
     a_safe = jnp.where(a_diag > 1e-12, a_diag, 1.0)
 
-    nR = n_fric_dof + ncmax * 3
-    fl_dof = rows.floss[idx_dof]
-    active_pairs = rows.active[pair_plus] & rows.active[pair_minus]
+    fl_dof = rows.floss[:n_fric_dof]
+    actcon = rows.active[con_base:].reshape(ncmax * 3, 2)
+    active_pairs = actcon[:, 0] & actcon[:, 1]
 
     # State: qacc, plus per-row friction variables.
-    f_dof0 = res.efc_force[idx_dof]
-    fp0 = res.efc_force[pair_plus]
-    fm0 = res.efc_force[pair_minus]
+    f_dof0 = res.efc_force[:n_fric_dof]
+    fcon0 = res.efc_force[con_base:].reshape(ncmax * 3, 2)
+    fp0 = fcon0[:, 0]
+    fm0 = fcon0[:, 1]
     u0 = jnp.concatenate([f_dof0, fp0 - fm0])              # friction vars
     ssum = fp0 + fm0                                       # fixed per pair
 
@@ -237,9 +238,10 @@ def noslip(M: jnp.ndarray, rows: Rows, res: SolveResult,
     ud = u[n_fric_dof:]
     fp = 0.5 * (ssum + ud)
     fm = 0.5 * (ssum - ud)
-    efc = res.efc_force
-    efc = efc.at[idx_dof].set(f_dof)
-    efc = efc.at[pair_plus].set(fp)
-    efc = efc.at[pair_minus].set(fm)
+    # Rebuild efc by concatenation (dof block | untouched middle |
+    # interleaved facet pairs) — strided scatters serialize on TPU.
+    inter = jnp.stack([fp, fm], axis=-1).reshape(ncmax * 6)
+    efc = jnp.concatenate(
+        [f_dof, res.efc_force[n_fric_dof:con_base], inter])
     jar = rows.J @ qacc - rows.aref
     return SolveResult(qacc=qacc, efc_force=efc, jar=jar)
