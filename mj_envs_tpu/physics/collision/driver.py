@@ -35,13 +35,11 @@ _FNS = {
     (GEOM_BOX, GEOM_BOX): (NP.box_box, 24),
 }
 
-# Contact SLOTS a pair contributes to the global buffer.  box_box emits 24
-# manifold *candidates* but at most 8 are geometrically valid (the rect-quad
-# intersection polygon has <= 8 vertices, narrowphase.py:964-1057) — they
-# are squeezed to 8 slots right after the narrowphase, exactly (order
-# preserved, values bit-identical), shrinking every downstream
-# (ncon_cap, batch) buffer: hammer's cap drops 1020 -> 700.
-_SLOTS = {key: min(mc, 8) for key, (fn, mc) in _FNS.items()}
+# Contact SLOTS a pair contributes to the global buffer (box_box's 24
+# manifold candidates could be squeezed to the <= 8 geometrically valid
+# ones, but the A/B measured the one-hot squeeze contraction at +2.8 ms
+# vs ~1 ms of downstream savings at 4096 envs — slots stay raw).
+_SLOTS = {key: mc for key, (fn, mc) in _FNS.items()}
 
 
 class CompactContacts(NamedTuple):
@@ -71,47 +69,6 @@ def _make_tangents(n: jnp.ndarray):
                           1e-12)
     t2 = jnp.cross(n, t1)
     return t1, t2
-
-
-def _squeeze_slots(d, p, n, out_c: int):
-    """Keep the first `out_c` produced candidates per pair, slot order
-    preserved, values bit-identical (each output is 1.0 x one candidate
-    + exact zeros).  A candidate is 'produced' when dist < BIG/2; the
-    narrowphase guarantees at most `out_c` of them per pair (box_box:
-    the intersection polygon has <= 8 vertices), so nothing is dropped.
-    Layouts: d (P, C); p, n (P, C, 3)."""
-    dtype = d.dtype
-    valid = d < NP.BIG / 2
-    vf = valid.astype(dtype)
-    rank = jnp.cumsum(vf, axis=1) - vf
-    slots = jnp.arange(out_c, dtype=dtype)
-    oh = (valid[..., None] & (rank[..., None] == slots)).astype(dtype)
-    hit = jnp.sum(oh, axis=1)                              # (P, O)
-    d_out = jnp.einsum("pc,pco->po", jnp.where(valid, d, 0.0), oh) \
-        + NP.BIG * (1.0 - hit)
-    vm = valid[..., None]
-    p_out = jnp.einsum("pck,pco->pok", jnp.where(vm, p, 0.0), oh)
-    n_out = jnp.einsum("pck,pco->pok", jnp.where(vm, n, 0.0), oh)
-    return d_out, p_out, n_out
-
-
-def _squeeze_slots_bm(d, p, n, out_c: int):
-    """_squeeze_slots in batch-minor layout: d (C, P, B); p, n
-    (C, 3, P, B).  Same arithmetic (sums of exact zeros + the selected
-    value), so both paths agree bit-for-bit."""
-    dtype = d.dtype
-    valid = d < NP.BIG / 2
-    vf = valid.astype(dtype)
-    rank = jnp.cumsum(vf, axis=0) - vf
-    slots = jnp.arange(out_c, dtype=dtype)[:, None, None, None]
-    oh = (valid[None] & (rank[None] == slots)).astype(dtype)  # (O,C,P,B)
-    hit = jnp.sum(oh, axis=1)                              # (O, P, B)
-    d_out = jnp.einsum("cpb,ocpb->opb", jnp.where(valid, d, 0.0), oh) \
-        + NP.BIG * (1.0 - hit)
-    vm = valid[:, None]
-    p_out = jnp.einsum("ckpb,ocpb->okpb", jnp.where(vm, p, 0.0), oh)
-    n_out = jnp.einsum("ckpb,ocpb->okpb", jnp.where(vm, n, 0.0), oh)
-    return d_out, p_out, n_out
 
 
 def narrowphase_all(m: Model, kin: Kin) -> Contact:
@@ -170,8 +127,6 @@ def narrowphase_all(m: Model, kin: Kin) -> Contact:
             xpos1[sl], xmat1[sl], size1_all[sl],
             xpos2[sl], xmat2[sl], size2_all[sl],
             m.pair_margin[pids_np])
-        if _SLOTS[key] < maxcon:
-            d_g, p_g, n_g = _squeeze_slots(d_g, p_g, n_g, _SLOTS[key])
         chunks_d.append(d_g.reshape(-1).astype(dtype))
         chunks_p.append(p_g.reshape(-1, 3).astype(dtype))
         chunks_n.append(n_g.reshape(-1, 3).astype(dtype))
@@ -327,8 +282,6 @@ def _narrowphase_all_batched(m: Model, kin: Kin,
                          out_axes=-1)                          # over B
         d_g, p_g, n_g = outer(xp1, xm1, s1, xp2, xm2, s2, marg)
         # d_g (C, P, B); p_g/n_g (C, 3, P, B) -> slot-major batch-minor
-        if _SLOTS[key] < d_g.shape[0]:
-            d_g, p_g, n_g = _squeeze_slots_bm(d_g, p_g, n_g, _SLOTS[key])
         C = d_g.shape[0]
         chunks_d.append(jnp.transpose(d_g, (1, 0, 2))
                         .reshape(P * C, B).astype(dtype))

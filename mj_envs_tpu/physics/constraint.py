@@ -63,6 +63,18 @@ def _kb(solref, solimp):
 
 def make_rows(m: Model, kin: Kin, qpos: jnp.ndarray, qvel: jnp.ndarray,
               con: CompactContacts) -> Rows:
+    """Dispatch: f64 (oracle-parity path) keeps the historical op set
+    VERBATIM — the trajectory gate is bit-exact vs mujoco, and any HLO
+    restructuring (even value-identical) changes XLA fusion/FMA
+    contraction enough to drift door/relocate past 1e-12 within steps.
+    f32 (TPU throughput path) uses the gather/scatter-free variant."""
+    if qpos.dtype == jnp.float64:
+        return _make_rows_ref(m, kin, qpos, qvel, con)
+    return _make_rows_fast(m, kin, qpos, qvel, con)
+
+
+def _make_rows_fast(m: Model, kin: Kin, qpos: jnp.ndarray,
+                    qvel: jnp.ndarray, con: CompactContacts) -> Rows:
     s = m.spec
     dtype = qpos.dtype
     nv = s.nv
@@ -171,8 +183,8 @@ def make_rows(m: Model, kin: Kin, qpos: jnp.ndarray, qvel: jnp.ndarray,
     n = con.frame[:, 0]
     t1 = con.frame[:, 1]
     t2 = con.frame[:, 2]
-    # Broadcast-multiply-sum over the 3-wide spatial axis (k): einsum
-    # here becomes a batched 3-wide dot_general padded to the MXU.
+    # Broadcast-multiply-sum over the 3-wide spatial axis: einsum here
+    # becomes a batched 3-wide dot_general padded to the 128-wide MXU.
     Jn = jnp.sum(n[..., None] * djp, axis=-2)            # (C, nv)
     Jt1 = jnp.sum(t1[..., None] * djp, axis=-2)
     Jt2 = jnp.sum(t2[..., None] * djp, axis=-2)
@@ -256,5 +268,176 @@ def make_rows(m: Model, kin: Kin, qpos: jnp.ndarray, qvel: jnp.ndarray,
     D = jnp.where(active, 1.0 / R, 0.0)
     # Inactive rows were neutralized piecewise above (fric rows are always
     # active; limit/tendon/contact pieces are multiplied by their masks).
+    return Rows(J=J, aref=aref, D=D, R=R, floss=floss, active=active,
+                oneside=oneside, pos=pos)
+
+
+def _make_rows_ref(m: Model, kin: Kin, qpos: jnp.ndarray, qvel: jnp.ndarray,
+              con: CompactContacts) -> Rows:
+    s = m.spec
+    dtype = qpos.dtype
+    nv = s.nv
+
+    Js, arefs, Ds, Rs, fls, actives, onesides, poss = \
+        [], [], [], [], [], [], [], []
+
+    # ---- dof friction rows (always active) -------------------------------
+    fr_dofs = np.nonzero(s.dof_hasfrictionloss)[0]
+    if len(fr_dofs):
+        Jf = jnp.zeros((len(fr_dofs), nv), dtype=dtype)
+        Jf = Jf.at[jnp.arange(len(fr_dofs)), fr_dofs].set(1.0)
+        imp = _impedance(m.dof_solimp_fri[fr_dofs], jnp.zeros(
+            len(fr_dofs), dtype=dtype))
+        k, b = _kb(m.dof_solref_fri[fr_dofs], m.dof_solimp_fri[fr_dofs])
+        aref = -b * qvel[fr_dofs]
+        R = jnp.maximum(MINVAL,
+                        (1 - imp) / imp * m.dof_invweight0[fr_dofs])
+        Js.append(Jf)
+        arefs.append(aref)
+        Rs.append(R)
+        fls.append(m.dof_frictionloss[fr_dofs])
+        actives.append(jnp.ones(len(fr_dofs), dtype=bool))
+        onesides.append(jnp.zeros(len(fr_dofs), dtype=bool))
+        poss.append(jnp.zeros(len(fr_dofs), dtype=dtype))
+
+    # ---- joint limit rows -------------------------------------------------
+    lim_jnts = np.nonzero(s.jnt_limited)[0]
+    if len(lim_jnts):
+        q = qpos[lim_jnts]
+        lo = m.jnt_range[lim_jnts, 0]
+        hi = m.jnt_range[lim_jnts, 1]
+        dist_lo = q - lo
+        dist_hi = hi - q
+        lower = dist_lo < dist_hi
+        dist = jnp.where(lower, dist_lo, dist_hi)
+        sgn = jnp.where(lower, 1.0, -1.0)
+        margin = m.jnt_margin[lim_jnts]
+        act = dist < margin
+        Jl = jnp.zeros((len(lim_jnts), nv), dtype=dtype)
+        Jl = Jl.at[jnp.arange(len(lim_jnts)), lim_jnts].set(sgn)
+        imp = _impedance(m.jnt_solimp_lim[lim_jnts], dist - margin)
+        k, b = _kb(m.jnt_solref_lim[lim_jnts], m.jnt_solimp_lim[lim_jnts])
+        aref = -b * (sgn * qvel[lim_jnts]) - k * imp * (dist - margin)
+        R = jnp.maximum(MINVAL,
+                        (1 - imp) / imp * m.dof_invweight0[lim_jnts])
+        Js.append(Jl)
+        arefs.append(aref)
+        Rs.append(R)
+        fls.append(jnp.zeros(len(lim_jnts), dtype=dtype))
+        actives.append(act)
+        onesides.append(jnp.ones(len(lim_jnts), dtype=bool))
+        poss.append(dist)
+
+    # ---- tendon limit rows -------------------------------------------------
+    lim_tens = np.nonzero(s.ten_limited)[0]
+    if len(lim_tens):
+        W = m.ten_coef[lim_tens]                 # (T, nv)
+        length = W @ qpos
+        lo = m.ten_range[lim_tens, 0]
+        hi = m.ten_range[lim_tens, 1]
+        dist_lo = length - lo
+        dist_hi = hi - length
+        lower = dist_lo < dist_hi
+        dist = jnp.where(lower, dist_lo, dist_hi)
+        sgn = jnp.where(lower, 1.0, -1.0)
+        margin = m.ten_margin[lim_tens]
+        act = dist < margin
+        Jt = sgn[:, None] * W
+        imp = _impedance(m.ten_solimp_lim[lim_tens], dist - margin)
+        k, b = _kb(m.ten_solref_lim[lim_tens], m.ten_solimp_lim[lim_tens])
+        aref = -b * (Jt @ qvel) - k * imp * (dist - margin)
+        R = jnp.maximum(MINVAL,
+                        (1 - imp) / imp * m.ten_invweight0[lim_tens])
+        Js.append(Jt)
+        arefs.append(aref)
+        Rs.append(R)
+        fls.append(jnp.zeros(len(lim_tens), dtype=dtype))
+        actives.append(act)
+        onesides.append(jnp.ones(len(lim_tens), dtype=bool))
+        poss.append(dist)
+
+    # ---- contact rows (ncmax x 6 facet slots) ------------------------------
+    ncmax = con.dist.shape[0]
+    b1 = jnp.asarray(s.geom_bodyid)[con.geom1]
+    b2 = jnp.asarray(s.geom_bodyid)[con.geom2]
+    jac1p, jac1r = point_jacobian(m, kin, con.pos, b1)   # (C, 3, nv)
+    jac2p, jac2r = point_jacobian(m, kin, con.pos, b2)
+    djp = jac2p - jac1p
+    djr = jac2r - jac1r
+    n = con.frame[:, 0]
+    t1 = con.frame[:, 1]
+    t2 = con.frame[:, 2]
+    Jn = jnp.einsum("ck,ckv->cv", n, djp)                # (C, nv)
+    Jt1 = jnp.einsum("ck,ckv->cv", t1, djp)
+    Jt2 = jnp.einsum("ck,ckv->cv", t2, djp)
+    Jtor = jnp.einsum("ck,ckv->cv", n, djr)
+
+    mu = m.pair_friction[con.pairid]                     # (C, 5)
+    margin = m.pair_margin[con.pairid]
+    gap = m.pair_gap[con.pairid]
+    incmargin = margin - gap
+    solref = m.pair_solref[con.pairid]
+    solimp = m.pair_solimp[con.pairid]
+    pos_m = con.dist - incmargin
+    imp = _impedance(solimp, pos_m)                      # (C,)
+    k, b = _kb(solref, solimp)
+
+    invw = (m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0])
+    mu1 = mu[:, 0]
+    # mj_diagApprox, determined empirically against the oracle across
+    # mu in {0.1..3} and condim in {1,3,4}: pyramidal rows use
+    # 2*max(2, mu^2*(1+mu^2)) * (trans invweight sum); frictionless
+    # condim=1 rows use the plain invweight sum (verified via explicit
+    # <pair condim=1> — a geom-level condim=1 is silently promoted to 3
+    # by mj_contactParam when the partner geom has condim 3, which is
+    # why only pair-level probes expose this).  impratio=1 throughout
+    # this suite; division kept for parameter parity.
+    diag_pyr = 2.0 * jnp.maximum(2.0, mu1 * mu1 * (1.0 + mu1 * mu1)) \
+        * invw / s.impratio
+    diag_n = invw
+    condim = con.condim
+
+    # facet slots: 0,1 = +-t1 ; 2,3 = +-t2 ; 4,5 = +-torsion.
+    # condim 1 uses slot 0 as the pure normal row.
+    facet_dir = jnp.stack([Jt1, Jt1, Jt2, Jt2, Jtor, Jtor], axis=1)
+    facet_mu = jnp.stack([mu[:, 0], mu[:, 0], mu[:, 1], mu[:, 1],
+                          mu[:, 2], mu[:, 2]], axis=1)
+    facet_sgn = jnp.asarray([1.0, -1.0, 1.0, -1.0, 1.0, -1.0],
+                            dtype=dtype)
+    is_normal_only = (condim == 1)[:, None]              # (C, 1)
+    Jc = Jn[:, None, :] + jnp.where(
+        is_normal_only[..., None], 0.0,
+        facet_sgn[None, :, None] * facet_mu[..., None] * facet_dir)
+    nrows = jnp.where(condim == 1, 1, 2 * (condim - 1))  # (C,)
+    row_live = (jnp.arange(6)[None, :] < nrows[:, None]) \
+        & con.active[:, None]
+
+    vel = jnp.einsum("crv,v->cr", Jc, qvel)
+    aref_c = -b[:, None] * vel - (k * imp * pos_m)[:, None]
+    diag = jnp.where(is_normal_only, diag_n[:, None], diag_pyr[:, None])
+    R_c = jnp.broadcast_to(
+        jnp.maximum(MINVAL, ((1 - imp) / imp)[:, None] * diag),
+        (ncmax, 6))
+    aref_c = jnp.broadcast_to(aref_c, (ncmax, 6))
+
+    Js.append(Jc.reshape(-1, nv))
+    arefs.append(aref_c.reshape(-1))
+    Rs.append(R_c.reshape(-1))
+    fls.append(jnp.zeros(ncmax * 6, dtype=dtype))
+    actives.append(row_live.reshape(-1))
+    onesides.append(jnp.ones(ncmax * 6, dtype=bool))
+    poss.append(jnp.broadcast_to(con.dist[:, None], (ncmax, 6)).reshape(-1))
+
+    J = jnp.concatenate(Js, axis=0)
+    aref = jnp.concatenate(arefs)
+    R = jnp.concatenate(Rs)
+    floss = jnp.concatenate(fls)
+    active = jnp.concatenate(actives)
+    oneside = jnp.concatenate(onesides)
+    pos = jnp.concatenate(poss)
+    D = jnp.where(active, 1.0 / R, 0.0)
+    # Inactive rows are fully neutralized.
+    J = jnp.where(active[:, None], J, 0.0)
+    aref = jnp.where(active, aref, 0.0)
     return Rows(J=J, aref=aref, D=D, R=R, floss=floss, active=active,
                 oneside=oneside, pos=pos)

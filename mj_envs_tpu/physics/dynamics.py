@@ -26,9 +26,13 @@ def crb(m: Model, kin: Kin) -> jnp.ndarray:
     dtype = kin.cdof.dtype
     subtree = jnp.asarray(s.subtree_mask, dtype=dtype)        # (nbody, nbody)
     icomp = jnp.einsum("bd,dij->bij", subtree, kin.cinert)    # (nbody, 6, 6)
-    # F[j] = Icomp[body(j)] @ cdof[j] — broadcast-multiply-sum, not
-    # einsum: batched 6-wide dot_generals pad to the 128-wide MXU.
-    F = jnp.sum(icomp[s.jnt_bodyid] * kin.cdof[:, None, :], axis=-1)
+    # F[j] = Icomp[body(j)] @ cdof[j] — f32: broadcast-multiply-sum
+    # (batched 6-wide dot_generals pad to the 128-wide MXU); f64 keeps
+    # the historical einsum for oracle-parity bits.
+    if dtype == jnp.float64:
+        F = jnp.einsum("jik,jk->ji", icomp[s.jnt_bodyid], kin.cdof)
+    else:
+        F = jnp.sum(icomp[s.jnt_bodyid] * kin.cdof[:, None, :], axis=-1)
     M = jnp.einsum("ik,jk->ij", kin.cdof, F)                  # (nv, nv)
     # M[i, j] above is only valid where dof j is the deeper one (i on j's
     # path, i <= j): mask the upper triangle and mirror it.
@@ -61,10 +65,15 @@ def bias_force(m: Model, kin: Kin, vel: Vel, qvel: jnp.ndarray
         [jnp.zeros(3, dtype=dtype),
          -jnp.asarray(s.gravity, dtype=dtype)])
     cacc = a0 + body_dofmask @ (vel.cdof_dot * qvel[:, None])  # (nbody, 6)
-    # Per-body bias force: f = I a + v x* (I v).  Broadcast-multiply-sum
-    # (batched 6-wide dot_generals pad to the 128-wide MXU).
-    Iv = jnp.sum(kin.cinert * vel.cvel[:, None, :], axis=-1)
-    Ia = jnp.sum(kin.cinert * cacc[:, None, :], axis=-1)
+    # Per-body bias force: f = I a + v x* (I v).  f32:
+    # broadcast-multiply-sum (batched 6-wide dot_generals pad to the
+    # 128-wide MXU); f64 keeps the historical einsum for parity bits.
+    if dtype == jnp.float64:
+        Iv = jnp.einsum("bij,bj->bi", kin.cinert, vel.cvel)
+        Ia = jnp.einsum("bij,bj->bi", kin.cinert, cacc)
+    else:
+        Iv = jnp.sum(kin.cinert * vel.cvel[:, None, :], axis=-1)
+        Ia = jnp.sum(kin.cinert * cacc[:, None, :], axis=-1)
     f = Ia + maths.force_cross(vel.cvel, Iv)                   # (nbody, 6)
     # Project onto dofs: qfrc_bias[i] = cdof_i . sum_{b in subtree(body_i)} f_b
     # body_dofmask[b, i] == dof i on path of b == b in subtree of body(i).

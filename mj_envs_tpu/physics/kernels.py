@@ -251,22 +251,37 @@ def _linesearch_ref(jar, Jp, D, floss, active, c1, c2,
     return alpha
 
 
-def _linesearch_kernel(jar_ref, Jp_ref, D_ref, floss_ref, active_ref,
-                       c1_ref, c2_ref, alpha_out_ref, *,
-                       bracket_iters: int, ls_iters: int):
-    """Batch-minor linesearch: row refs (R, Bblk), scalar refs (1, Bblk).
-    Per-env scalars live as (1, B) lane vectors; every phi evaluation is
-    a handful of (R, B) VPU ops entirely in VMEM."""
-    jar = jar_ref[:]
-    Jp = Jp_ref[:]
-    D = D_ref[:]
-    floss = floss_ref[:]
-    active = active_ref[:]              # float 0/1 mask
-    c1 = c1_ref[:]
-    c2 = c2_ref[:]
-    is_fric = floss > 0                 # bool PREDICATE only — Mosaic
-    # cannot materialize bool-valued vectors (i8->i1 trunc unsupported),
-    # so masks are carried as f32 0/1 and combined multiplicatively.
+def _rows_cost_at(jar, Jp, D, floss, alpha):
+    """Per-row constraint cost at jar + alpha*Jp (exactly
+    solver._cost_rows before the `active` mask and sum)."""
+    jar_a = jar + alpha * Jp
+    is_fric = floss > 0
+    quad_cost = 0.5 * D * jar_a * jar_a
+    lin_cost = floss * jnp.abs(jar_a) \
+        - 0.5 * floss ** 2 / jnp.maximum(D, 1e-30)
+    fric_cost = jnp.where(jnp.abs(D * jar_a) <= floss, quad_cost, lin_cost)
+    one_cost = jnp.where(jar_a < 0, quad_cost, 0.0)
+    return jnp.where(is_fric, fric_cost, one_cost)
+
+
+def _linesearch_cost_ref(jar, Jp, D, floss, active, c1, c2,
+                         bracket_iters: int, ls_iters: int):
+    """Linesearch + constraint-row cost at the chosen alpha (one env).
+    The alpha math is identical to `_linesearch_ref`; the extra output
+    saves newton_solve a separate full-row cost pass per iteration."""
+    alpha = _linesearch_ref(jar, Jp, D, floss, active, c1, c2,
+                            bracket_iters, ls_iters)
+    af = active.astype(jar.dtype) if active.dtype == jnp.bool_ else active
+    cost = jnp.sum(_rows_cost_at(jar, Jp, D, floss, alpha) * af)
+    return alpha, cost
+
+
+def _linesearch_alpha_vals(jar, Jp, D, floss, active, c1, c2,
+                           bracket_iters: int, ls_iters: int):
+    """Linesearch on VMEM-resident batch-minor values: rows (R, Bblk),
+    scalars (1, Bblk).  Masks are f32 0/1 combined multiplicatively
+    (Mosaic cannot materialize bool vregs); `is_fric` stays a predicate."""
+    is_fric = floss > 0
 
     def dphi(alpha):
         jar_a = jar + alpha * Jp
@@ -304,7 +319,33 @@ def _linesearch_kernel(jar_ref, Jp_ref, D_ref, floss_ref, active_ref,
 
     lo, hi, alpha = jax.lax.fori_loop(
         0, ls_iters, ls_body, (lo, hi, jnp.minimum(hi, 1.0)))
+    return alpha
+
+
+def _linesearch_kernel(jar_ref, Jp_ref, D_ref, floss_ref, active_ref,
+                       c1_ref, c2_ref, alpha_out_ref, *,
+                       bracket_iters: int, ls_iters: int):
+    alpha_out_ref[:] = _linesearch_alpha_vals(
+        jar_ref[:], Jp_ref[:], D_ref[:], floss_ref[:], active_ref[:],
+        c1_ref[:], c2_ref[:], bracket_iters, ls_iters)
+
+
+def _linesearch_cost_kernel(jar_ref, Jp_ref, D_ref, floss_ref, active_ref,
+                            c1_ref, c2_ref, alpha_out_ref, cost_out_ref,
+                            *, bracket_iters: int, ls_iters: int):
+    """Linesearch + constraint-row cost at the final alpha (the rows are
+    already VMEM-resident, so the extra cost pass is a few VPU ops)."""
+    jar = jar_ref[:]
+    Jp = Jp_ref[:]
+    D = D_ref[:]
+    floss = floss_ref[:]
+    active = active_ref[:]
+    alpha = _linesearch_alpha_vals(jar, Jp, D, floss, active,
+                                   c1_ref[:], c2_ref[:],
+                                   bracket_iters, ls_iters)
     alpha_out_ref[:] = alpha
+    cost = _rows_cost_at(jar, Jp, D, floss, alpha) * active
+    cost_out_ref[:] = jnp.sum(cost, axis=0, keepdims=True)
 
 
 def _linesearch_pallas(jar, Jp, D, floss, active, c1, c2,
@@ -377,6 +418,81 @@ def make_linesearch(bracket_iters: int, ls_iters: int):
     return search
 
 
+def _linesearch_cost_pallas(jar, Jp, D, floss, active, c1, c2,
+                            bracket_iters: int, ls_iters: int,
+                            block_b: int = 128):
+    """Batched linesearch + row cost on TPU: returns (alpha (B,),
+    rows_cost (B,))."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, R = jar.shape
+    pad = (-B) % block_b
+    if pad:
+        padf = lambda x: jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+        jar, Jp, D, floss, active, c1, c2 = map(
+            padf, (jar, Jp, D, floss, active, c1, c2))
+        B = B + pad
+
+    rows = [jnp.transpose(x, (1, 0))
+            for x in (jar, Jp, D, floss, active.astype(jar.dtype))]
+    scalars = [c1[None, :], c2[None, :]]
+
+    rspec = pl.BlockSpec((R, block_b), lambda g: (0, g),
+                         memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((1, block_b), lambda g: (0, g),
+                         memory_space=pltpu.VMEM)
+    alpha, cost = pl.pallas_call(
+        functools.partial(_linesearch_cost_kernel,
+                          bracket_iters=bracket_iters, ls_iters=ls_iters),
+        grid=(B // block_b,),
+        in_specs=[rspec] * 5 + [sspec] * 2,
+        out_specs=(sspec, sspec),
+        out_shape=(jax.ShapeDtypeStruct((1, B), jar.dtype),
+                   jax.ShapeDtypeStruct((1, B), jar.dtype)),
+        interpret=_INTERPRET,
+    )(*rows, *scalars)
+    a, c = alpha[0], cost[0]
+    if pad:
+        a, c = a[: a.shape[0] - pad], c[: c.shape[0] - pad]
+    return a, c
+
+
+def make_linesearch_cost(bracket_iters: int, ls_iters: int):
+    """Like `make_linesearch`, returning (alpha, rows_cost-at-alpha).
+    Used on the f32 path where newton_solve tracks the total cost as
+    carried-quadratic + row cost instead of a separate full pass."""
+
+    @custom_batching.custom_vmap
+    def search(jar, Jp, D, floss, active, c1, c2):
+        return _linesearch_cost_ref(jar, Jp, D, floss, active, c1, c2,
+                                    bracket_iters, ls_iters)
+
+    @search.def_vmap
+    def search_vmap(axis_size, in_batched, jar, Jp, D, floss, active,
+                    c1, c2):
+        args = [jar, Jp, D, floss, active, c1, c2]
+        flat = []
+        for x, b in zip(args, in_batched):
+            flat.append(x if b else jnp.broadcast_to(
+                x, (axis_size,) + x.shape))
+        jar, Jp, D, floss, active, c1, c2 = flat
+        use_pallas = (jar.dtype == jnp.float32
+                      and jax.default_backend() == "tpu")
+        if use_pallas:
+            alpha, cost = _linesearch_cost_pallas(
+                jar, Jp, D, floss, active, c1, c2,
+                bracket_iters, ls_iters)
+        else:
+            alpha, cost = jax.vmap(
+                lambda *xs: _linesearch_cost_ref(
+                    *xs, bracket_iters, ls_iters)
+            )(jar, Jp, D, floss, active, c1, c2)
+        return (alpha, cost), (True, True)
+
+    return search
+
+
 _SEARCHES = {}
 
 
@@ -385,6 +501,16 @@ def linesearch_cached(bracket_iters: int, ls_iters: int):
     if key not in _SEARCHES:
         _SEARCHES[key] = make_linesearch(bracket_iters, ls_iters)
     return _SEARCHES[key]
+
+
+_SEARCHES_COST = {}
+
+
+def linesearch_cost_cached(bracket_iters: int, ls_iters: int):
+    key = (bracket_iters, ls_iters)
+    if key not in _SEARCHES_COST:
+        _SEARCHES_COST[key] = make_linesearch_cost(bracket_iters, ls_iters)
+    return _SEARCHES_COST[key]
 
 
 # ---------------------------------------------------------------------------
@@ -537,12 +663,22 @@ def _chol_solve_vmap(axis_size, in_batched, H, g):
 
 
 def _chol_solve_mat_kernel(H_ref, g_ref, x_out_ref, A_scr, Lt_scr, y_scr,
-                           *, nv: int):
+                           v_scr, *, nv: int):
     """Solve H X = G per lane.  H (nv, nv, B) SPD; G (nv, R, B).
 
     Identical factorization to _chol_solve_kernel; the forward/back
-    substitutions broadcast over the R RHS columns."""
+    substitutions broadcast over the R RHS columns.  The trailing
+    updates are chunked over the major (nv) axis starting at the chunk
+    containing row k+1 — rows <= k receive exact-zero updates in the
+    unblocked form, so skipping them is bit-identical and halves the
+    substitution work (the dominant cost at R ~ 4 nv).  The per-step
+    column is staged through `v_scr` because Mosaic has no lowering for
+    dynamic_slice on VALUES — refs support pl.ds chunk reads."""
     from jax.experimental import pallas as pl
+    # Chunk size must DIVIDE nv: a partial final chunk would be clamped
+    # by dynamic_slice and double-apply updates to earlier rows.
+    CH = next(c for c in (8, 6, 4, 3, 2, 1) if nv % c == 0)
+    nch = nv // CH
     A_scr[:] = H_ref[:]
     row_ids = jax.lax.broadcasted_iota(
         jnp.int32, (nv, H_ref.shape[-1]), 0)
@@ -556,7 +692,14 @@ def _chol_solve_mat_kernel(H_ref, g_ref, x_out_ref, A_scr, Lt_scr, y_scr,
         c = jnp.where(row_ids >= k, c, 0.0)
         Lt_scr[k] = c
         cu = jnp.where(row_ids > k, c, 0.0)
-        A_scr[:] = A_scr[:] - cu[:, None, :] * cu[None, :, :]
+        v_scr[:] = cu
+
+        def upd(j, _):
+            sl = pl.ds(j * CH, CH)
+            A_scr[sl] = A_scr[sl] - v_scr[sl][:, None, :] * cu[None, :, :]
+            return 0
+
+        jax.lax.fori_loop((k + 1) // CH, nch, upd, 0)
         return carry
 
     jax.lax.fori_loop(0, nv, fact_body, 0)
@@ -571,7 +714,14 @@ def _chol_solve_mat_kernel(H_ref, g_ref, x_out_ref, A_scr, Lt_scr, y_scr,
         yk = y_scr[k] / lkk                         # (R, B)
         y_scr[pl.ds(k, 1), :, :] = yk[None]
         sub = jnp.where(row_ids > k, col, 0.0)      # (nv, B)
-        y_scr[:] = y_scr[:] - sub[:, None, :] * yk[None, :, :]
+        v_scr[:] = sub
+
+        def upd(j, _):
+            sl = pl.ds(j * CH, CH)
+            y_scr[sl] = y_scr[sl] - v_scr[sl][:, None, :] * yk[None, :, :]
+            return 0
+
+        jax.lax.fori_loop((k + 1) // CH, nch, upd, 0)
         return carry
 
     jax.lax.fori_loop(0, nv, fwd_body, 0)
@@ -583,8 +733,18 @@ def _chol_solve_mat_kernel(H_ref, g_ref, x_out_ref, A_scr, Lt_scr, y_scr,
         k = nv - 1 - kk
         col = Lt_scr[k]                             # (nv, B)
         mask = jnp.where(row_ids > k, col, 0.0)     # (nv, B)
-        dot = jnp.sum(mask[:, None, :] * x_out_ref[:],
-                      axis=0, keepdims=False)       # (R, B)
+        v_scr[:] = mask
+        B = mask.shape[-1]
+        Rr = y_scr.shape[1]
+
+        def acc_chunk(j, acc):
+            sl = pl.ds(j * CH, CH)
+            return acc + jnp.sum(v_scr[sl][:, None, :] * x_out_ref[sl],
+                                 axis=0)            # (R, B)
+
+        dot = jax.lax.fori_loop(
+            (k + 1) // CH, nch, acc_chunk,
+            jnp.zeros((Rr, B), mask.dtype))
         lkk = jnp.sum(jnp.where(row_ids == k, col, 0.0),
                       axis=0, keepdims=True)        # (1, B)
         xk = (y_scr[k] - dot) / lkk                 # (R, B)
@@ -627,6 +787,7 @@ def _chol_solve_mat_pallas(H, G, block_b: int = 128):
             pltpu.VMEM((nv, nv, block_b), H.dtype),
             pltpu.VMEM((nv, nv, block_b), H.dtype),
             pltpu.VMEM((nv, R, block_b), H.dtype),
+            pltpu.VMEM((nv, block_b), H.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_BUDGET),

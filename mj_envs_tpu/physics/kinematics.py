@@ -113,12 +113,18 @@ def kinematics(m: Model, qpos: jnp.ndarray) -> Kin:
     cdof = jnp.concatenate([ang, lin], axis=-1)
 
     # Spatial inertia per body at its tree-root com, world axes.
-    # Broadcast-multiply-sum, not einsum: batched 3x3 dot_generals pad to
-    # the 128-wide MXU and were ~1.4 ms/substep at 4096 envs (round-4
-    # trace); the elementwise form fuses on the VPU.
-    tmp = ximat * m.body_inertia[..., None, :]             # R diag(I)
-    inert_world = jnp.sum(
-        tmp[..., :, None, :] * ximat[..., None, :, :], axis=-1)
+    # f32: broadcast-multiply-sum, not einsum — batched 3x3 dot_generals
+    # pad to the 128-wide MXU and were ~1.4 ms/substep at 4096 envs
+    # (round-4 trace); the elementwise form fuses on the VPU.  f64 keeps
+    # the historical einsum so the oracle-parity bits are unchanged
+    # (reduction order differs between the two forms).
+    if dtype == jnp.float64:
+        inert_world = jnp.einsum(
+            "bij,bj,bkj->bik", ximat, m.body_inertia, ximat)
+    else:
+        tmp = ximat * m.body_inertia[..., None, :]         # R diag(I)
+        inert_world = jnp.sum(
+            tmp[..., :, None, :] * ximat[..., None, :, :], axis=-1)
     cinert = maths.spatial_inertia(mass, inert_world, xipos - root_com)
 
     return Kin(xpos=xpos, xquat=xquat, xmat=xmat, xipos=xipos,

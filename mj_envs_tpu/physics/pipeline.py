@@ -122,12 +122,16 @@ def _sensors(m: Model, kin: K.Kin, qpos, act: A.Actuation,
         b2 = jnp.asarray(s.geom_bodyid)[contacts.geom2]
 
         # (S, C, 3): contact positions in each touch site's frame.
-        # Broadcast-multiply-sum instead of einsum: batched 3-wide
+        # f32: broadcast-multiply-sum instead of einsum — batched 3-wide
         # dot_generals pad to the MXU (~0.9 ms/substep at 4096 envs).
+        # f64 keeps the historical einsum for oracle-parity bits.
         diff = contacts.pos[None, :, :] \
             - kin.site_xpos[sids][:, None, :]              # (S, C, 3=j)
-        rel = jnp.sum(kin.site_xmat[sids][:, None, :, :]
-                      * diff[..., :, None], axis=-2)       # sum over j
+        if dtype == jnp.float64:
+            rel = jnp.einsum("sji,scj->sci", kin.site_xmat[sids], diff)
+        else:
+            rel = jnp.sum(kin.site_xmat[sids][:, None, :, :]
+                          * diff[..., :, None], axis=-2)   # sum over j
         size = m.site_size[sids][:, None, :]             # (S, 1, 3)
         stype = np.asarray(s.site_type[sids])            # (S,) static
         in_sphere = jnp.sum(rel * rel, axis=-1) <= size[..., 0] ** 2

@@ -84,8 +84,17 @@ def newton_solve(M: jnp.ndarray, qacc_smooth: jnp.ndarray, rows: Rows,
     tol_rel = 10.0 * jnp.finfo(qacc.dtype).eps
     cost0 = jnp.where(use_w, cost_w, cost_s)
 
+    # f32 path: the linesearch kernel also returns the constraint-row
+    # cost at the chosen alpha, and the M-quadratic part is carried
+    # incrementally (quad(a) = quad + a*c1 + a^2/2*c2) — saving a full
+    # row pass + M matvec per iteration.  The f64 parity path keeps the
+    # historical explicit _total_cost evaluation, bit-for-bit.
+    fused_cost = qacc.dtype == jnp.float32
+    dq0 = qacc - qacc_smooth
+    quad_cost0 = 0.5 * dq0 @ (M @ dq0)
+
     def body(carry):
-        qacc, jar, it, prev_cost, done = carry
+        qacc, jar, it, prev_cost, quad_cost, done = carry
         f, quad = _forces(rows, jar)
         grad = M @ (qacc - qacc_smooth) - rows.J.T @ f
         w = jnp.where(quad, rows.D, 0.0)
@@ -98,7 +107,8 @@ def newton_solve(M: jnp.ndarray, qacc_smooth: jnp.ndarray, rows: Rows,
         # Cholesky+cho_solve unbatched (f64 parity bits unchanged) and
         # on CPU; a Pallas batch-minor factorization on TPU f32 under
         # vmap (tests/test_kernels.py checks elementwise equivalence).
-        from .kernels import chol_solve, linesearch_cached
+        from .kernels import (chol_solve, linesearch_cached,
+                              linesearch_cost_cached)
         p = -chol_solve(H + lm * eye, grad)
         # If the factorization still failed (NaN), fall back to a plain
         # diagonally-preconditioned gradient step so one bad state cannot
@@ -114,12 +124,21 @@ def newton_solve(M: jnp.ndarray, qacc_smooth: jnp.ndarray, rows: Rows,
         Mp = M @ p
         c1 = p @ (M @ (qacc - qacc_smooth))
         c2 = p @ Mp
-        alpha = linesearch_cached(12, ls_iterations)(
-            jar, Jp, rows.D, rows.floss, rows.active, c1, c2)
+        if fused_cost:
+            alpha, rows_cost = linesearch_cost_cached(12, ls_iterations)(
+                jar, Jp, rows.D, rows.floss, rows.active, c1, c2)
+            quad_cost_new = quad_cost + alpha * c1 \
+                + 0.5 * alpha * alpha * c2
+            cost_new = quad_cost_new + rows_cost
+        else:
+            alpha = linesearch_cached(12, ls_iterations)(
+                jar, Jp, rows.D, rows.floss, rows.active, c1, c2)
+            quad_cost_new = quad_cost
 
         qacc_new = qacc + alpha * p
         jar_new = jar + alpha * Jp
-        cost_new = _total_cost(M, qacc_new, qacc_smooth, rows, jar_new)
+        if not fused_cost:
+            cost_new = _total_cost(M, qacc_new, qacc_smooth, rows, jar_new)
         improved = prev_cost - cost_new
         done_new = improved <= tol_rel * (1.0 + jnp.abs(cost_new))
         # Reject non-improving steps (keeps the fixed-point stable).
@@ -127,15 +146,17 @@ def newton_solve(M: jnp.ndarray, qacc_smooth: jnp.ndarray, rows: Rows,
         qacc_new = jnp.where(keep, qacc_new, qacc)
         jar_new = jnp.where(keep, jar_new, jar)
         cost_new = jnp.where(keep, cost_new, prev_cost)
-        return (qacc_new, jar_new, it + 1, cost_new, done_new)
+        quad_cost_new = jnp.where(keep, quad_cost_new, quad_cost)
+        return (qacc_new, jar_new, it + 1, cost_new, quad_cost_new,
+                done_new)
 
     def cond(carry):
-        _, _, it, _, done = carry
+        _, _, it, _, _, done = carry
         return (it < iterations) & ~done
 
-    qacc, jar, _, _, _ = jax.lax.while_loop(
+    qacc, jar, _, _, _, _ = jax.lax.while_loop(
         cond, body, (qacc, jar, jnp.asarray(0, jnp.int32), cost0,
-                     jnp.asarray(False)))
+                     quad_cost0, jnp.asarray(False)))
     f, _ = _forces(rows, jar)
     return SolveResult(qacc=qacc, efc_force=f, jar=jar)
 
