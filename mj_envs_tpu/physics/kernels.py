@@ -530,8 +530,15 @@ def _chol_solve_kernel(H_ref, g_ref, x_out_ref, A_scr, Lt_scr, y_scr,
 
     A_scr holds the working matrix (kept symmetric through rank-1
     trailing updates, so column k can always be read as ROW k — a
-    contiguous (nv, B) tile).  Lt_scr[k] stores column k of L."""
+    contiguous (nv, B) tile).  Lt_scr[k] stores column k of L.  The
+    trailing update is chunked over the major axis from the chunk
+    holding row k+1 (rows <= k receive exact-zero updates — skipping
+    them is bit-identical and halves the factorization work); the
+    column stages through y_scr because Mosaic cannot dynamic_slice
+    VALUES, only refs."""
     from jax.experimental import pallas as pl
+    CH = next(c for c in (8, 6, 4, 3, 2, 1) if nv % c == 0)
+    nch = nv // CH
     A_scr[:] = H_ref[:]
     row_ids = jax.lax.broadcasted_iota(
         jnp.int32, (nv, H_ref.shape[-1]), 0)
@@ -548,7 +555,14 @@ def _chol_solve_kernel(H_ref, g_ref, x_out_ref, A_scr, Lt_scr, y_scr,
         c = jnp.where(row_ids >= k, c, 0.0)
         Lt_scr[k] = c
         cu = jnp.where(row_ids > k, c, 0.0)
-        A_scr[:] = A_scr[:] - cu[:, None, :] * cu[None, :, :]
+        y_scr[:] = cu                               # stage for chunk reads
+
+        def upd(j, _):
+            sl = pl.ds(j * CH, CH)
+            A_scr[sl] = A_scr[sl] - y_scr[sl][:, None, :] * cu[None, :, :]
+            return 0
+
+        jax.lax.fori_loop((k + 1) // CH, nch, upd, 0)
         return carry
 
     jax.lax.fori_loop(0, nv, fact_body, 0)

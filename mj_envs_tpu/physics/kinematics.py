@@ -38,7 +38,7 @@ class Kin(NamedTuple):  # noqa: D101
     cinert: jnp.ndarray      # (nbody, 6, 6) spatial inertia in com frame
 
 
-def kinematics(m: Model, qpos: jnp.ndarray) -> Kin:
+def _kinematics_ref(m: Model, qpos: jnp.ndarray) -> Kin:
     s = m.spec
     dtype = qpos.dtype
 
@@ -133,6 +133,37 @@ def kinematics(m: Model, qpos: jnp.ndarray) -> Kin:
                xanchor=xanchor, xaxis=xaxis,
                subtree_com=subtree_com, root_com=root_com,
                cdof=cdof, cinert=cinert)
+
+
+from jax import custom_batching
+
+
+@custom_batching.custom_vmap
+def kinematics(m: Model, qpos: jnp.ndarray) -> Kin:
+    """Forward kinematics.  Unbatched (and therefore the f64
+    oracle-parity path): the unrolled-tree reference above, op-for-op.
+    One level of vmap on TPU f32 reroutes to the fused Pallas FK kernel
+    (physics/fk_kernel.py); vmap elsewhere falls back to vmapping the
+    reference."""
+    return _kinematics_ref(m, qpos)
+
+
+@kinematics.def_vmap
+def _kinematics_vmap(axis_size, in_batched, m, qpos):
+    import jax
+    mb, qb = in_batched
+    if not qb:
+        qpos = jnp.broadcast_to(qpos, (axis_size,) + qpos.shape)
+    use_pallas = (qpos.dtype == jnp.float32
+                  and jax.default_backend() == "tpu")
+    if use_pallas:
+        from . import fk_kernel
+        kin = Kin(*fk_kernel.fk_pallas(m, qpos, mb))
+    else:
+        m_axes = jax.tree.map(lambda b: 0 if b else None, mb)
+        kin = jax.vmap(_kinematics_ref, in_axes=(m_axes, 0))(m, qpos)
+    out_batched = Kin(*([True] * len(Kin._fields)))
+    return kin, out_batched
 
 
 def point_jacobian(m: Model, kin: Kin, points: jnp.ndarray,

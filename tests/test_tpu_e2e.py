@@ -61,3 +61,56 @@ def test_tpu_step_512_envs():
         + "\n".join(out.stdout.splitlines()[-5:])
         + "\nstderr tail: " + "\n".join(out.stderr.splitlines()[-15:]))
     assert "FINITE=True" in out.stdout
+
+
+_FK_CHILD = r"""
+import numpy as np
+import jax, jax.numpy as jnp
+print("BACKEND=" + jax.default_backend(), flush=True)
+if jax.default_backend() != "tpu":
+    raise SystemExit(3)
+from mj_envs_tpu import envs
+from mj_envs_tpu.physics import kinematics as K
+from mj_envs_tpu.physics import fk_kernel as FK
+env = envs.make("hammer-v0")
+m = env.model
+B = 256                              # grid > 1
+st = jax.jit(jax.vmap(env.reset))(jax.random.split(jax.random.PRNGKey(7), B))
+step = jax.jit(jax.vmap(env.step))
+for _ in range(3):
+    st = step(st, 0.3 * jnp.ones((B, env.nu), jnp.float32))
+qpos = st.data.qpos
+mb = jax.tree.map(lambda x: False, m)
+got = jax.jit(lambda q: K.Kin(*FK.fk_pallas(m, q, mb)))(qpos)
+want = jax.jit(lambda q: jax.vmap(
+    K._kinematics_ref, in_axes=(None, 0))(m, q))(qpos)
+ok = True
+for f in K.Kin._fields:
+    a, b = np.asarray(getattr(got, f)), np.asarray(getattr(want, f))
+    err = float(np.max(np.abs(a - b)))
+    print(f"{f}: {err:.3e}", flush=True)
+    ok &= np.isfinite(err) and err <= 2e-5
+print("FK_OK=" + str(bool(ok)), flush=True)
+raise SystemExit(0 if ok else 1)
+"""
+
+
+def test_tpu_fk_kernel_matches_reference():
+    """Fused FK Pallas kernel vs the unrolled-tree reference, on the
+    REAL chip at grid > 1 (interpret mode is impractically slow for the
+    ~5k-op unrolled kernel, so this is the primary equivalence gate)."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", _FK_CHILD], capture_output=True,
+            text=True, cwd=repo, env=env,
+            timeout=float(os.environ.get("TPU_E2E_TIMEOUT", 1500)))
+    except subprocess.TimeoutExpired:
+        pytest.skip("TPU backend unavailable or tunnel hung")
+    if out.returncode == 3:
+        pytest.skip("no TPU backend (got %s)" % (out.stdout.strip() or "?"))
+    assert out.returncode == 0, (
+        f"FK kernel mismatch or crash on TPU:\n{out.stdout}\n{out.stderr[-2000:]}")
