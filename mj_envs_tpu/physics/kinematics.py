@@ -150,12 +150,16 @@ def kinematics(m: Model, qpos: jnp.ndarray) -> Kin:
 
 @kinematics.def_vmap
 def _kinematics_vmap(axis_size, in_batched, m, qpos):
+    import os
     import jax
     mb, qb = in_batched
     if not qb:
         qpos = jnp.broadcast_to(qpos, (axis_size,) + qpos.shape)
+    # MJE_NO_FK_KERNEL=1: escape hatch to the vmapped-reference path
+    # (e.g. if a jax upgrade breaks the kernel's Mosaic lowering).
     use_pallas = (qpos.dtype == jnp.float32
-                  and jax.default_backend() == "tpu")
+                  and jax.default_backend() == "tpu"
+                  and os.environ.get("MJE_NO_FK_KERNEL", "0") != "1")
     if use_pallas:
         from . import fk_kernel
         kin = Kin(*fk_kernel.fk_pallas(m, qpos, mb))
