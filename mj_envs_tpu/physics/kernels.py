@@ -811,6 +811,232 @@ def _chol_solve_mat_pallas(H, G, block_b: int = 128):
     return x[: x.shape[0] - pad] if pad else x
 
 
+def _chol_solve_mat_fac_kernel(Lt_ref, g_ref, x_out_ref, y_scr, v_scr,
+                               *, nv: int):
+    """Forward/back substitution only, from a prefactored Lt
+    (Lt_ref[k] = column k of L as an (nv, B) tile — the layout
+    _chol_solve_kernel's Lt_scr holds).  Same chunked triangular
+    updates as _chol_solve_mat_kernel."""
+    from jax.experimental import pallas as pl
+    CH = next(c for c in (8, 6, 4, 3, 2, 1) if nv % c == 0)
+    nch = nv // CH
+    row_ids = jax.lax.broadcasted_iota(
+        jnp.int32, (nv, Lt_ref.shape[-1]), 0)
+
+    y_scr[:] = g_ref[:]
+
+    def fwd_body(k, carry):
+        col = Lt_ref[k]
+        lkk = jnp.sum(jnp.where(row_ids == k, col, 0.0),
+                      axis=0, keepdims=True)
+        yk = y_scr[k] / lkk
+        y_scr[pl.ds(k, 1), :, :] = yk[None]
+        sub = jnp.where(row_ids > k, col, 0.0)
+        v_scr[:] = sub
+
+        def upd(j, _):
+            sl = pl.ds(j * CH, CH)
+            y_scr[sl] = y_scr[sl] - v_scr[sl][:, None, :] * yk[None, :, :]
+            return 0
+
+        jax.lax.fori_loop((k + 1) // CH, nch, upd, 0)
+        return carry
+
+    jax.lax.fori_loop(0, nv, fwd_body, 0)
+
+    x_out_ref[:] = jnp.zeros_like(y_scr[:])
+
+    def bwd_body(kk, carry):
+        k = nv - 1 - kk
+        col = Lt_ref[k]
+        mask = jnp.where(row_ids > k, col, 0.0)
+        v_scr[:] = mask
+        B = mask.shape[-1]
+        Rr = y_scr.shape[1]
+
+        def acc_chunk(j, acc):
+            sl = pl.ds(j * CH, CH)
+            return acc + jnp.sum(v_scr[sl][:, None, :] * x_out_ref[sl],
+                                 axis=0)
+
+        dot = jax.lax.fori_loop(
+            (k + 1) // CH, nch, acc_chunk,
+            jnp.zeros((Rr, B), mask.dtype))
+        lkk = jnp.sum(jnp.where(row_ids == k, col, 0.0),
+                      axis=0, keepdims=True)
+        xk = (y_scr[k] - dot) / lkk
+        x_out_ref[pl.ds(k, 1), :, :] = xk[None]
+        return carry
+
+    jax.lax.fori_loop(0, nv, bwd_body, 0)
+
+
+def _chol_solve_mat_fac_pallas(Lt_bm, G, block_b: int = 128):
+    """Prefactored batched SPD matrix solve: Lt_bm (nv, nv, B) from
+    `chol_solve_factor` (already padded/batch-minor), G (B, nv, R)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, nv, R = G.shape[0], G.shape[1], G.shape[2]
+    Bp = Lt_bm.shape[-1]
+    pad = Bp - B
+    if pad:
+        G = jnp.pad(G, ((0, pad), (0, 0), (0, 0)))
+    G_bm = jnp.transpose(G, (1, 2, 0))              # (nv, R, Bp)
+
+    mspec = pl.BlockSpec((nv, nv, block_b), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM)
+    gspec = pl.BlockSpec((nv, R, block_b), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM)
+    x_bm = pl.pallas_call(
+        functools.partial(_chol_solve_mat_fac_kernel, nv=nv),
+        grid=(Bp // block_b,),
+        in_specs=[mspec, gspec],
+        out_specs=gspec,
+        out_shape=jax.ShapeDtypeStruct((nv, R, Bp), G.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((nv, R, block_b), G.dtype),
+            pltpu.VMEM((nv, block_b), G.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_BUDGET),
+        interpret=_INTERPRET,
+    )(Lt_bm, G_bm)
+    x = jnp.transpose(x_bm, (2, 0, 1))
+    return x[:B] if pad else x
+
+
+def _chol_factor_kernel(H_ref, Lt_out_ref, A_scr, v_scr, *, nv: int):
+    """Factorization only: Lt_out_ref[k] = column k of L as (nv, B)."""
+    from jax.experimental import pallas as pl
+    CH = next(c for c in (8, 6, 4, 3, 2, 1) if nv % c == 0)
+    nch = nv // CH
+    A_scr[:] = H_ref[:]
+    row_ids = jax.lax.broadcasted_iota(
+        jnp.int32, (nv, H_ref.shape[-1]), 0)
+
+    def fact_body(k, carry):
+        row_k = A_scr[k]
+        akk = jnp.sum(jnp.where(row_ids == k, row_k, 0.0),
+                      axis=0, keepdims=True)
+        inv_s = jax.lax.rsqrt(akk)
+        c = row_k * inv_s
+        c = jnp.where(row_ids >= k, c, 0.0)
+        Lt_out_ref[k] = c
+        cu = jnp.where(row_ids > k, c, 0.0)
+        v_scr[:] = cu
+
+        def upd(j, _):
+            sl = pl.ds(j * CH, CH)
+            A_scr[sl] = A_scr[sl] - v_scr[sl][:, None, :] * cu[None, :, :]
+            return 0
+
+        jax.lax.fori_loop((k + 1) // CH, nch, upd, 0)
+        return carry
+
+    jax.lax.fori_loop(0, nv, fact_body, 0)
+
+
+def chol_factor_bm(H, block_b: int = 128):
+    """Batch-minor Cholesky factor for reuse across solves on the TPU
+    f32 path: H (B, nv, nv) -> Lt_bm (nv, nv, Bp) with Bp lane-padded,
+    Lt_bm[k] = column k of L.  Padded lanes factor the identity."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, nv, _ = H.shape
+    pad = (-B) % block_b
+    if pad:
+        H = jnp.pad(H, ((0, pad), (0, 0), (0, 0)))
+        eye = jnp.eye(nv, dtype=H.dtype)
+        lane = jnp.arange(B + pad) >= B
+        H = jnp.where(lane[:, None, None], eye[None], H)
+    Bp = B + pad
+    H_bm = jnp.transpose(H, (1, 2, 0))
+
+    mspec = pl.BlockSpec((nv, nv, block_b), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_chol_factor_kernel, nv=nv),
+        grid=(Bp // block_b,),
+        in_specs=[mspec],
+        out_specs=mspec,
+        out_shape=jax.ShapeDtypeStruct((nv, nv, Bp), H.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((nv, nv, block_b), H.dtype),
+            pltpu.VMEM((nv, block_b), H.dtype),
+        ],
+        interpret=_INTERPRET,
+    )(H_bm)
+
+
+@custom_batching.custom_vmap
+def chol_solve_factor(H, g):
+    """x = H^-1 g plus a REUSABLE factor of H (for a later matrix-RHS
+    solve against the same H — noslip reuses the mass-matrix factor
+    computed for qacc_smooth).  Unbatched: fac = lower-triangular L.
+    Vmapped TPU f32: one Pallas factorization + substitution; fac is
+    the batch of L matrices (as _chol_solve_kernel's Lt columns)."""
+    L = jnp.linalg.cholesky(H)
+    x = jax.scipy.linalg.cho_solve((L, True), g)
+    return x, jnp.swapaxes(L, -1, -2)   # fac[k] = column k of L
+
+
+@chol_solve_factor.def_vmap
+def _chol_solve_factor_vmap(axis_size, in_batched, H, g):
+    if not in_batched[0]:
+        H = jnp.broadcast_to(H, (axis_size,) + H.shape)
+    if not in_batched[1]:
+        g = jnp.broadcast_to(g, (axis_size,) + g.shape)
+    B = H.shape[0]
+    use_pallas = (H.dtype == jnp.float32
+                  and jax.default_backend() == "tpu")
+    if use_pallas:
+        Lt_bm = chol_factor_bm(H)                       # (nv, nv, Bp)
+        x = _chol_solve_mat_fac_pallas(Lt_bm, g[..., None])[..., 0]
+        fac = jnp.moveaxis(Lt_bm, -1, 0)[:B]            # (B, nv, nv)
+    else:
+        L = jnp.linalg.cholesky(H)
+        x = jax.scipy.linalg.cho_solve((L, True), g)
+        # Keep the TPU fac layout (fac[b, k] = column k of L) so a
+        # mixed-backend consumer sees one convention.
+        fac = jnp.swapaxes(L, -1, -2)
+    return (x, fac), (True, True)
+
+
+@custom_batching.custom_vmap
+def chol_solve_mat_fac(fac, G):
+    """X = H^-1 G from a `chol_solve_factor` factor (fac[k] = column k
+    of L, i.e. L^T)."""
+    L = jnp.swapaxes(fac, -1, -2)
+    return jax.scipy.linalg.cho_solve((L, True), G)
+
+
+@chol_solve_mat_fac.def_vmap
+def _chol_solve_mat_fac_vmap(axis_size, in_batched, fac, G):
+    if not in_batched[0]:
+        fac = jnp.broadcast_to(fac, (axis_size,) + fac.shape)
+    if not in_batched[1]:
+        G = jnp.broadcast_to(G, (axis_size,) + G.shape)
+    use_pallas = (fac.dtype == jnp.float32
+                  and jax.default_backend() == "tpu")
+    if use_pallas:
+        B, nv = fac.shape[0], fac.shape[1]
+        pad = (-B) % 128
+        if pad:
+            # Padded lanes must hold an identity factor (unit diagonal).
+            eyeT = jnp.eye(nv, dtype=fac.dtype)
+            lane = jnp.arange(B + pad) >= B
+            fac = jnp.where(lane[:, None, None], eyeT[None],
+                            jnp.pad(fac, ((0, pad), (0, 0), (0, 0))))
+        Lt_bm = jnp.moveaxis(fac, 0, -1)                # (nv, nv, Bp)
+        x = _chol_solve_mat_fac_pallas(Lt_bm, G)
+    else:
+        L = jnp.swapaxes(fac, -1, -2)
+        x = jax.scipy.linalg.cho_solve((L, True), G)
+    return x, True
+
+
 @custom_batching.custom_vmap
 def chol_solve_mat(H, G):
     """X = H^-1 G for SPD H and matrix G (nv, R).  Unbatched: jnp

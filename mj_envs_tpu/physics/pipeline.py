@@ -64,8 +64,14 @@ def forward_core(m: Model, qpos, qvel, ctrl, qacc_warmstart,
 
     qfrc_smooth = act.qfrc_actuator + qfrc_passive + qfrc_applied \
         - qfrc_bias
-    from .kernels import chol_solve
-    qacc_smooth = chol_solve(M, qfrc_smooth)
+    from .kernels import chol_solve, chol_solve_factor
+    if qpos.dtype == jnp.float32:
+        # Keep the factor of M for reuse in noslip's matrix-RHS solve.
+        qacc_smooth, M_fac = chol_solve_factor(M, qfrc_smooth)
+    else:
+        # f64 oracle-parity path: ops verbatim (no extra factor output).
+        qacc_smooth = chol_solve(M, qfrc_smooth)
+        M_fac = None
 
     contact_full, contacts = C.collide(m, kin, _ncmax(s))
     rows = CN.make_rows(m, kin, qpos, qvel, contacts)
@@ -75,7 +81,7 @@ def forward_core(m: Model, qpos, qvel, ctrl, qacc_warmstart,
         import numpy as np
         nfl = int(np.sum(s.dof_hasfrictionloss))
         solve = S.noslip(M, rows, solve, nfl, _ncmax(s),
-                         s.noslip_iterations)
+                         s.noslip_iterations, M_fac=M_fac)
 
     sensordata = _sensors(m, kin, qpos, act, contacts, rows, solve)
     clipped = jnp.sum(contact_full.active) > _ncmax(s)

@@ -162,7 +162,8 @@ def newton_solve(M: jnp.ndarray, qacc_smooth: jnp.ndarray, rows: Rows,
 
 
 def noslip(M: jnp.ndarray, rows: Rows, res: SolveResult,
-           n_fric_dof: int, ncmax: int, iterations: int) -> SolveResult:
+           n_fric_dof: int, ncmax: int, iterations: int,
+           M_fac: jnp.ndarray | None = None) -> SolveResult:
     """Noslip post-pass: modified PGS over friction components only,
     without constraint regularization (suppresses friction drift; the
     reference model sets noslip_iterations=20, `DAPG_assets.xml:3`).
@@ -211,6 +212,13 @@ def noslip(M: jnp.ndarray, rows: Rows, res: SolveResult,
         MD = D_all @ Minv                                  # (R, nv)
         a_diag = jnp.sum(MD * D_all, axis=1)               # (R,)
         X = MD.T                                           # (nv, R)
+    elif M_fac is not None:
+        # Reuse the mass-matrix factor computed for qacc_smooth
+        # (kernels.chol_solve_factor) — skips a second in-kernel
+        # factorization of the same M.
+        from .kernels import chol_solve_mat_fac
+        X = chol_solve_mat_fac(M_fac, D_all.T)             # (nv, R)
+        a_diag = jnp.sum(D_all.T * X, axis=0)              # (R,)
     else:
         from .kernels import chol_solve_mat
         X = chol_solve_mat(M, D_all.T)                     # (nv, R)

@@ -146,3 +146,62 @@ def test_chol_solve_custom_vmap_dispatch():
     gotB = jax.jit(jax.vmap(KR.chol_solve))(H, g)   # CPU fallback path
     np.testing.assert_allclose(np.asarray(gotB), np.asarray(want),
                                rtol=1e-6, atol=1e-9)
+
+
+@pytest.mark.parametrize("B,nv,R", [(5, 6, 9), (130, 33, 129)])
+def test_chol_factor_reuse_matches_dense(B, nv, R):
+    """chol_solve_factor + chol_solve_mat_fac (the reused-mass-matrix
+    path noslip takes on TPU) vs dense solves, interpret mode."""
+    key = jax.random.PRNGKey(5)
+    G = jax.random.normal(key, (B, nv, nv), jnp.float32)
+    H = jnp.einsum("bik,bjk->bij", G, G) \
+        + nv * jnp.eye(nv, dtype=jnp.float32)[None]
+    g = jax.random.normal(jax.random.PRNGKey(6), (B, nv), jnp.float32)
+    rhs = jax.random.normal(jax.random.PRNGKey(7), (B, nv, R),
+                            jnp.float32)
+    KR._INTERPRET = True
+    import mj_envs_tpu.physics.kernels as KR2
+    try:
+        Lt_bm = KR.chol_factor_bm(H)
+        x = KR._chol_solve_mat_fac_pallas(Lt_bm, g[..., None])[..., 0]
+        X = KR._chol_solve_mat_fac_pallas(Lt_bm, rhs)
+    finally:
+        KR._INTERPRET = False
+    want_x = jnp.linalg.solve(H, g[..., None])[..., 0]
+    want_X = jnp.linalg.solve(H, rhs)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(want_x),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(X), np.asarray(want_X),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_chol_factor_custom_vmap_dispatch():
+    """Unbatched and CPU-vmapped paths of chol_solve_factor /
+    chol_solve_mat_fac agree with plain dense solves."""
+    key = jax.random.PRNGKey(8)
+    B, nv, R = 4, 7, 5
+    G = jax.random.normal(key, (B, nv, nv), jnp.float32)
+    H = jnp.einsum("bik,bjk->bij", G, G) \
+        + nv * jnp.eye(nv, dtype=jnp.float32)[None]
+    g = jax.random.normal(jax.random.PRNGKey(9), (B, nv), jnp.float32)
+    rhs = jax.random.normal(jax.random.PRNGKey(10), (B, nv, R),
+                            jnp.float32)
+    # unbatched
+    x1, fac1 = KR.chol_solve_factor(H[0], g[0])
+    X1 = KR.chol_solve_mat_fac(fac1, rhs[0])
+    np.testing.assert_allclose(np.asarray(x1),
+                               np.asarray(jnp.linalg.solve(H[0], g[0])),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(X1), np.asarray(jnp.linalg.solve(H[0], rhs[0])),
+        rtol=2e-3, atol=2e-3)
+    # vmapped (CPU fallback path)
+    xB, facB = jax.jit(jax.vmap(KR.chol_solve_factor))(H, g)
+    XB = jax.jit(jax.vmap(KR.chol_solve_mat_fac))(facB, rhs)
+    np.testing.assert_allclose(np.asarray(xB),
+                               np.asarray(jnp.linalg.solve(
+                                   H, g[..., None])[..., 0]),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(XB),
+                               np.asarray(jnp.linalg.solve(H, rhs)),
+                               rtol=2e-3, atol=2e-3)
