@@ -23,6 +23,10 @@ import time
 
 MEASURE_STEPS = int(os.environ.get("BENCH_STEPS", 20))
 DEADLINE_S = float(os.environ.get("BENCH_DEADLINE", 1500))
+# The north-star config (BASELINE.json): hammer-v0 at 4096 envs.  The
+# headline (LAST parseable line) is always this size when it completed;
+# other sizes are secondary diagnostics.
+NORTH_STAR = int(os.environ.get("BENCH_NORTH_STAR", 4096))
 _T0 = time.time()
 
 
@@ -125,8 +129,10 @@ def main():
 
     child_env = dict(os.environ)
     if backend == "tpu":
+        # North-star size FIRST so a deadline kill after one child still
+        # leaves the metric the judge scores (4096, not the best size).
         sizes = [int(s) for s in os.environ.get(
-            "BENCH_SIZES", "1024,4096").split(",")]
+            "BENCH_SIZES", "4096,1024").split(",")]
     else:
         # CPU fallback: scrub the axon plugin so children don't re-dial
         # the downed tunnel, and pin the CPU platform.
@@ -188,9 +194,7 @@ def main():
                 continue
             if "steps_per_s" in rec:
                 results.append(rec)
-                if rec["steps_per_s"] >= max(
-                        r["steps_per_s"] for r in results):
-                    print(headline(rec), flush=True)
+                print(headline(rec), flush=True)
                 return "ok"
         tail = (out.stderr or "").strip().splitlines()[-6:]
         errors.append(f"{tag}{n}: rc={out.returncode} " + " | ".join(tail))
@@ -220,12 +224,13 @@ def main():
             "error": "; ".join(errors)[-1500:] or "no child completed"}))
         return
 
-    best = max(results, key=lambda r: r["steps_per_s"])
-    final = headline(best)
-    # Re-print the best line last only if a weaker line was printed after
-    # it (keeps "last line = best measurement" invariant).
-    if results[-1]["steps_per_s"] < best["steps_per_s"]:
-        print(final, flush=True)
+    # The headline is the NORTH-STAR size when measured (BASELINE.json
+    # defines the metric at 4096 envs); other sizes are diagnostics.
+    # Re-print it last so "last parseable line = the scored metric".
+    ns = [r for r in results if r["num_envs"] == NORTH_STAR]
+    final = ns[0] if ns else max(results, key=lambda r: r["steps_per_s"])
+    if results[-1] is not final:
+        print(headline(final), flush=True)
 
 
 if __name__ == "__main__":
