@@ -24,7 +24,7 @@ print("BACKEND=" + jax.default_backend(), flush=True)
 if jax.default_backend() != "tpu":
     raise SystemExit(3)          # sentinel: not a TPU -> skip
 from mj_envs_tpu import envs
-env = envs.make("hammer-v0")
+env = envs.make("TASK_ID")
 B = 512                          # > 128 so the Pallas grid is > 1
 st = jax.jit(jax.vmap(env.reset))(jax.random.split(jax.random.PRNGKey(0), B))
 step = jax.jit(jax.vmap(env.step_auto_reset))
@@ -40,23 +40,30 @@ raise SystemExit(0 if ok else 1)
 """
 
 
-def test_tpu_step_512_envs():
+# Each task compiles a DIFFERENT program: pen has the most contacts and a
+# different (R, nv); door is frame_skip=1 with arm slide dofs; relocate
+# is the largest nv (36).  A kernel-shape regression in any of them would
+# hide behind a hammer-only gate (VERDICT r4 item 7).
+@pytest.mark.parametrize(
+    "task", ["hammer-v0", "door-v0", "pen-v0", "relocate-v0"])
+def test_tpu_step_512_envs(task):
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)       # undo the suite-wide CPU pin
     env.pop("XLA_FLAGS", None)           # no virtual-device forcing
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     try:
         out = subprocess.run(
-            [sys.executable, "-c", _CHILD], capture_output=True,
+            [sys.executable, "-c", _CHILD.replace("TASK_ID", task)],
+            capture_output=True,
             text=True, cwd=repo, env=env,
-            timeout=float(os.environ.get("MJE_TPU_TEST_TIMEOUT", 600)))
+            timeout=float(os.environ.get("MJE_TPU_TEST_TIMEOUT", 900)))
     except subprocess.TimeoutExpired:
         pytest.skip("TPU backend init/compile timed out (tunnel down?)")
     if out.returncode == 3:
         pytest.skip(f"no TPU backend available "
                     f"({out.stdout.strip().splitlines()[-1:]}) ")
     assert out.returncode == 0, (
-        "512-env hammer step FAILED on the TPU backend (the round-2 "
+        f"512-env {task} step FAILED on the TPU backend (the round-2 "
         "noslip-VMEM regression class).\nstdout tail: "
         + "\n".join(out.stdout.splitlines()[-5:])
         + "\nstderr tail: " + "\n".join(out.stderr.splitlines()[-15:]))
