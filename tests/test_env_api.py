@@ -183,3 +183,29 @@ def test_contact_overflow_indicator():
     # and the auto-reset path carries the counter through
     st2 = jax.jit(tight.step_auto_reset)(st, a)
     assert int(st2.contact_clips) >= int(st.contact_clips)
+
+
+def test_chunked_vmap_matches_plain_vmap():
+    """parallel.vector.chunked_vmap is a SCHEDULING change: per-env math
+    is identical, but the Newton while_loop's batch-wide early exit runs
+    a few extra iterations on the bigger batch (it iterates until ALL
+    envs converge), refining already-converged values below the solver
+    tolerance.  Measured deltas on CPU f32: qacc ~7e-4 abs, qvel ~5e-6,
+    obs ~1.4e-7 — bounded here at solver-tolerance scale; int/bool
+    leaves (done, counters, keys) must match exactly."""
+    from mj_envs_tpu.parallel.vector import chunked_vmap
+    env = envs.make("hammer-v0")
+    B = 8
+    keys = jax.random.split(jax.random.PRNGKey(11), B)
+    st = jax.jit(jax.vmap(env.reset))(keys)
+    a = jax.random.uniform(jax.random.PRNGKey(12), (B, env.nu),
+                           jnp.float32, -1.0, 1.0)
+    plain = jax.jit(jax.vmap(env.step_auto_reset))(st, a)
+    chunk = jax.jit(chunked_vmap(env.step_auto_reset, 2))(st, a)
+    for f, (x, y) in enumerate(zip(jax.tree.leaves(plain),
+                                   jax.tree.leaves(chunk))):
+        x, y = np.asarray(x), np.asarray(y)
+        if x.dtype.kind == "f":
+            assert np.allclose(x, y, rtol=1e-3, atol=2e-3), f
+        else:
+            assert np.array_equal(x, y), f

@@ -213,28 +213,54 @@ def main():
         (st, kk), _ = jax.lax.scan(body, (state, k), (), length=STEPS)
         return st, ()
 
+    CHUNK = int(os.environ.get("CHUNK", "1024"))
+
+    def roll_full_chunked(state, k):
+        # The bench program, but each scan iteration maps over K
+        # sequential chunks of CHUNK envs: every data-dependent
+        # while_loop (Newton early exit, narrowphase loops) converges
+        # per-chunk instead of across the whole batch, so one hard env
+        # stalls CHUNK envs, not NUM_ENVS.
+        K = NUM_ENVS // CHUNK
+        assert K * CHUNK == NUM_ENVS
+
+        def body(carry, _):
+            st, kk = carry
+            kk, ka = jax.random.split(kk)
+            a = jax.random.uniform(ka, (NUM_ENVS, env.nu), jnp.float32,
+                                   -1.0, 1.0)
+            stc = jax.tree.map(
+                lambda x: x.reshape((K, CHUNK) + x.shape[1:]), st)
+            ac = a.reshape(K, CHUNK, env.nu)
+            stc = jax.lax.map(lambda args: v_sar(*args), (stc, ac))
+            st = jax.tree.map(
+                lambda x: x.reshape((NUM_ENVS,) + x.shape[2:]), stc)
+            return (st, kk), ()
+        (st, kk), _ = jax.lax.scan(body, (state, k), (), length=STEPS)
+        return st, ()
+
     named = {"substeps": roll_substeps, "envstep": roll_envstep,
              "envstep_rand": roll_envstep_rand, "nofresh": roll_nofresh,
-             "nomerge": roll_nomerge, "full": roll_full}
-    full_j = None
-    last_state = state
+             "nomerge": roll_nomerge, "full": roll_full,
+             "chunked": roll_full_chunked}
+    traced_j, traced_fn, last_state = None, None, state
     for v in VARIANTS:
         fn_j, last_state = time_rollout(
             v, named[v], state, key, STEPS)
-        if v == "full":
-            full_j = fn_j
+        traced_j, traced_fn = fn_j, named[v]
 
+    # Trace the LAST variant run.
     trace_dir = os.environ.get("TRACE")
-    if trace_dir and full_j is not None:
+    if trace_dir and traced_j is not None:
         hlo = ""
         if os.environ.get("HLO", "1") == "1":
             try:
-                hlo = jax.jit(roll_full, donate_argnums=(0,)).lower(
+                hlo = jax.jit(traced_fn, donate_argnums=(0,)).lower(
                     state, key).compile().as_text()
             except Exception as e:  # pragma: no cover
                 print(f"hlo fetch failed: {e}", flush=True)
         with jax.profiler.trace(trace_dir):
-            st, _ = full_j(last_state, key)
+            st, _ = traced_j(last_state, key)
             jax.block_until_ready(jax.tree.leaves(st)[0])
         parse_trace(trace_dir, hlo)
 
