@@ -214,6 +214,12 @@ def _compact_batched(m: Model, con: Contact, ncmax: int) -> CompactContacts:
     ints = jnp.round(out[..., 7:11]).astype(jnp.int32)
     nrm = out[..., 4:7]
     t1, t2 = _make_tangents(nrm)
+    # CONTRACT: `frame` is UNDEFINED for slots with active=False — the
+    # zero normal there makes _make_tangents emit its seed vector as t1
+    # ([0, seed, 0] rows), not an all-zero frame.  Every consumer
+    # (constraint.make_rows, sensors) must mask by `active`; do not add
+    # a `valid` mask here, it would cost a (B, C, 3, 3) where-pass per
+    # substep for values nothing may read (ADVICE r4 item 3).
     return CompactContacts(
         pairid=ints[..., 0],
         dist=jnp.where(valid, out[..., 0], NP.BIG),

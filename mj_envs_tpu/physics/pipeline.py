@@ -65,11 +65,14 @@ def forward_core(m: Model, qpos, qvel, ctrl, qacc_warmstart,
     qfrc_smooth = act.qfrc_actuator + qfrc_passive + qfrc_applied \
         - qfrc_bias
     from .kernels import chol_solve, chol_solve_factor
-    if qpos.dtype == jnp.float32:
+    if qpos.dtype == jnp.float32 and s.noslip_iterations > 0:
         # Keep the factor of M for reuse in noslip's matrix-RHS solve.
         qacc_smooth, M_fac = chol_solve_factor(M, qfrc_smooth)
     else:
         # f64 oracle-parity path: ops verbatim (no extra factor output).
+        # Also the f32 path when there is no noslip pass: the factor
+        # would never be reused, and materializing it costs an extra
+        # nv^2*B HBM round-trip (ADVICE r4 item 4).
         qacc_smooth = chol_solve(M, qfrc_smooth)
         M_fac = None
 

@@ -205,3 +205,52 @@ def test_chol_factor_custom_vmap_dispatch():
     np.testing.assert_allclose(np.asarray(XB),
                                np.asarray(jnp.linalg.solve(H, rhs)),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_make_rows_fast_matches_ref_on_env_states():
+    """ADVICE r4 item 2: the f32 gather-free constraint-row assembly
+    (`_make_rows_fast`) vs the historical reference (`_make_rows_ref`)
+    on REAL env states with live contacts — previously the fast path
+    was only exercised by TPU-gated e2e tests, so a divergence in the
+    pair-table packing or facet masking could ship unnoticed on CPU."""
+    from mj_envs_tpu import envs
+    from mj_envs_tpu.physics import constraint as CN
+    from mj_envs_tpu.physics import kinematics as K
+    from mj_envs_tpu.physics import pipeline as P
+    from mj_envs_tpu.physics.collision import driver as C
+
+    env = envs.make("hammer-v0")
+    m = env.model
+    ncmax = P._ncmax(m.spec)
+    st = jax.jit(env.reset)(jax.random.PRNGKey(5))
+    step = jax.jit(env.step)
+    rng = np.random.default_rng(5)
+
+    checked_contacts = 0
+    for t in range(12):
+        a = jnp.asarray(rng.uniform(-1, 1, env.nu), jnp.float32)
+        st = step(st, a)
+        qpos = st.data.qpos
+        qvel = st.data.qvel
+        kin = K.kinematics(m, qpos)
+        _, cc = C.collide(m, kin, ncmax)
+        fast = CN._make_rows_fast(m, kin, qpos, qvel, cc)
+        ref = CN._make_rows_ref(m, kin, qpos, qvel, cc)
+        checked_contacts += int(np.sum(np.asarray(cc.active)))
+        act = np.asarray(ref.active)
+        assert np.array_equal(np.asarray(fast.active), act), t
+        assert np.array_equal(np.asarray(fast.oneside),
+                              np.asarray(ref.oneside)), t
+        for name in ("J", "aref", "D", "R", "floss", "pos"):
+            a_f = np.asarray(getattr(fast, name))
+            a_r = np.asarray(getattr(ref, name))
+            # Inactive rows: fast pre-masks, ref post-masks — compare
+            # only where a row exists (D/R are active-masked already).
+            if name in ("J", "aref", "pos"):
+                mask = act if a_f.ndim == 1 else act[:, None]
+                a_f = np.where(mask, a_f, 0.0)
+                a_r = np.where(mask, a_r, 0.0)
+            np.testing.assert_allclose(
+                a_f, a_r, rtol=2e-5, atol=1e-6,
+                err_msg=f"step {t} field {name}")
+    assert checked_contacts >= 10, "trajectory never made contact"
