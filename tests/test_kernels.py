@@ -254,3 +254,29 @@ def test_make_rows_fast_matches_ref_on_env_states():
                 a_f, a_r, rtol=2e-5, atol=1e-6,
                 err_msg=f"step {t} field {name}")
     assert checked_contacts >= 10, "trajectory never made contact"
+
+
+def test_fk_parallel_matches_ref():
+    """Pointer-doubling FK (`_kinematics_parallel`) vs the sequential
+    reference on all four tasks at perturbed states (f32).  The parallel
+    form re-associates the chain composition, so agreement is at f32
+    roundoff, not bitwise."""
+    from mj_envs_tpu import envs
+    from mj_envs_tpu.physics import kinematics as K
+
+    for task in ("hammer-v0", "door-v0", "pen-v0", "relocate-v0"):
+        env = envs.make(task)
+        m = env.model
+        rng = np.random.default_rng(3)
+        qpos = jnp.asarray(
+            np.asarray(m.qpos0)[None]
+            + 0.3 * rng.standard_normal((8, m.spec.nq)), jnp.float32)
+        ref = jax.jit(jax.vmap(K._kinematics_ref,
+                               in_axes=(None, 0)))(m, qpos)
+        par = jax.jit(jax.vmap(K._kinematics_parallel,
+                               in_axes=(None, 0)))(m, qpos)
+        for f in K.Kin._fields:
+            a = np.asarray(getattr(ref, f))
+            b = np.asarray(getattr(par, f))
+            scale = max(1.0, float(np.max(np.abs(a))) if a.size else 1.0)
+            assert np.max(np.abs(a - b)) <= 2e-5 * scale, (task, f)

@@ -38,16 +38,22 @@ def main():
         qpos = st.data.qpos
 
         impl = os.environ.get("FK_IMPL", "pallas")
-        if impl == "pallas":
+        if impl == "dummy":
+            # Harness floor probe: a trivially cheap op in the same
+            # amortized-scan shape.
+            def one(q):
+                return q * 1.000001
+        elif impl == "pallas":
             def one(q):
                 return FK.fk_pallas(m, q, mb)[0]
         else:
             from mj_envs_tpu.physics import kinematics as K
             m_axes = jax.tree.map(lambda b: None, mb)
+            fn = (K._kinematics_parallel if impl == "parallel"
+                  else K._kinematics_ref)
 
             def one(q):
-                return jax.vmap(K._kinematics_ref,
-                                in_axes=(m_axes, 0))(m, q).xpos
+                return jax.vmap(fn, in_axes=(m_axes, 0))(m, q).xpos
 
         def many(q):
             def body(carry, _):
