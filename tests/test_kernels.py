@@ -242,7 +242,8 @@ def test_make_rows_fast_matches_ref_on_env_states():
         assert np.array_equal(np.asarray(fast.oneside),
                               np.asarray(ref.oneside)), t
         for name in ("J", "aref", "D", "R", "floss", "pos"):
-            a_f = np.asarray(getattr(fast, name))
+            a_f = np.asarray(CN.expand_J(fast) if name == "J"
+                             else getattr(fast, name))
             a_r = np.asarray(getattr(ref, name))
             # Inactive rows: fast pre-masks, ref post-masks — compare
             # only where a row exists (D/R are active-masked already).
