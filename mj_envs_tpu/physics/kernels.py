@@ -48,11 +48,12 @@ def _noslip_scan(A, a_safe, lo, hi, gate, r0, u0, iters: int):
 
 
 def _noslip_kernel(AT_ref, a_ref, lo_ref, hi_ref, gate_ref, r0_ref,
-                   u0_ref, u_out_ref, r_scr, u_scr, *, R: int, iters: int):
+                   u0_ref, u_out_ref, r_scr, u_scr, *, R: int, iters: int,
+                   tol: float = 0.0):
     r_scr[:] = r0_ref[:]
     u_scr[:] = u0_ref[:]
 
-    def row(k, carry):
+    def _row_update(k):
         import jax.numpy as jnp  # noqa: F811 (clarity inside kernel)
         from jax.experimental import pallas as pl
         rk = r_scr[pl.ds(k, 1), :]                   # (1, B)
@@ -65,12 +66,49 @@ def _noslip_kernel(AT_ref, a_ref, lo_ref, hi_ref, gate_ref, r0_ref,
                            u_new - uk, 0.0)
         r_scr[:] = r_scr[:] + AT_ref[k] * du_act     # (R, B) += (R,B)*(1,B)
         u_scr[pl.ds(k, 1), :] = uk + du_act
-        return carry
+        return du_act
 
-    def sweep(s, carry):
-        return jax.lax.fori_loop(0, R, row, carry)
+    if tol == 0.0:
+        # Exact legacy codegen: fixed trip count, no convergence
+        # bookkeeping (the CPU scan reference runs the same count —
+        # kernel-equality tests rely on this branch).
+        def row(k, carry):
+            _row_update(k)
+            return carry
 
-    jax.lax.fori_loop(0, iters, sweep, 0)
+        def sweep(s, carry):
+            return jax.lax.fori_loop(0, R, row, carry)
+
+        jax.lax.fori_loop(0, iters, sweep, 0)
+    else:
+        # Early exit once a full sweep's largest force update drops
+        # below tol * (force scale): mujoco's mj_solNoSlip likewise
+        # stops on a tolerance (mjOption.noslip_tolerance), not always
+        # on maxiter.  The per-row cost is ONE elementwise max on the
+        # (1, B) lane vector; the cross-lane reduction happens once per
+        # sweep.  Scale = the largest box bound in this block
+        # (frictionloss limits / normal-force sums).  Per-BLOCK exit:
+        # one hard env stalls only its 128-lane block.
+        scale = jnp.maximum(jnp.max(hi_ref[:]), 1.0)
+
+        def row(k, mx):
+            du_act = _row_update(k)
+            return jnp.maximum(mx, jnp.abs(du_act))  # (1, B) elementwise
+
+        def sweep_body(carry):
+            s, _ = carry
+            mxv = jax.lax.fori_loop(
+                0, R, row, jnp.zeros((1, r_scr.shape[1]), AT_ref.dtype))
+            return s + 1, jnp.max(mxv)
+
+        def sweep_cond(carry):
+            s, mx = carry
+            return (s < iters) & (mx > tol * scale)
+
+        jax.lax.while_loop(
+            sweep_cond, sweep_body,
+            (jnp.asarray(0, jnp.int32),
+             jnp.asarray(jnp.inf, AT_ref.dtype)))
     u_out_ref[:] = u_scr[:]
 
 
@@ -110,7 +148,7 @@ def noslip_pallas_fits(R: int, block_b: int = 128) -> bool:
 
 
 def _noslip_pallas(A, a_safe, lo, hi, gate, r0, u0, iters: int,
-                   block_b: int = 128):
+                   block_b: int = 128, tol: float = 0.0):
     """Batched sweep on TPU: A (B, R, R) f32; returns u (B, R)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -134,7 +172,7 @@ def _noslip_pallas(A, a_safe, lo, hi, gate, r0, u0, iters: int,
     grid = B // block_b
     vmem_need = _noslip_vmem_bytes(R, block_b, grid) + (2 << 20)
     u_t = pl.pallas_call(
-        functools.partial(_noslip_kernel, R=R, iters=iters),
+        functools.partial(_noslip_kernel, R=R, iters=iters, tol=tol),
         grid=(grid,),
         in_specs=[pl.BlockSpec((R, R, block_b), lambda g: (0, 0, g),
                                memory_space=pltpu.VMEM)] + [vspec] * 6,
@@ -149,11 +187,12 @@ def _noslip_pallas(A, a_safe, lo, hi, gate, r0, u0, iters: int,
     return u[: u.shape[0] - pad] if pad else u
 
 
-def make_noslip_sweep(iters: int):
+def make_noslip_sweep(iters: int, tol: float = 0.0):
     """Returns sweep(A, a_safe, lo, hi, gate, r0, u0) with static
     iteration count, batch-aware: the unbatched form runs the scan; one
     level of vmap reroutes to the Pallas kernel on TPU f32 (scan
-    fallback elsewhere)."""
+    fallback elsewhere).  tol > 0 enables the kernel's per-block
+    early exit (TPU f32 only; scan paths always run `iters` sweeps)."""
 
     @custom_batching.custom_vmap
     def sweep(A, a_safe, lo, hi, gate, r0, u0):
@@ -171,7 +210,8 @@ def make_noslip_sweep(iters: int):
                       and jax.default_backend() == "tpu"
                       and noslip_pallas_fits(A.shape[-1]))
         if use_pallas:
-            u = _noslip_pallas(A, a_safe, lo, hi, gate, r0, u0, iters)
+            u = _noslip_pallas(A, a_safe, lo, hi, gate, r0, u0, iters,
+                               tol=tol)
         else:
             u = jax.vmap(lambda *xs: _noslip_scan(*xs, iters))(
                 A, a_safe, lo, hi, gate, r0, u0)
@@ -183,10 +223,10 @@ def make_noslip_sweep(iters: int):
 _SWEEPS = {}
 
 
-def noslip_sweep_cached(iters: int):
-    if iters not in _SWEEPS:
-        _SWEEPS[iters] = make_noslip_sweep(iters)
-    return _SWEEPS[iters]
+def noslip_sweep_cached(iters: int, tol: float = 0.0):
+    if (iters, tol) not in _SWEEPS:
+        _SWEEPS[(iters, tol)] = make_noslip_sweep(iters, tol)
+    return _SWEEPS[(iters, tol)]
 
 
 # ---------------------------------------------------------------------------

@@ -304,7 +304,17 @@ def noslip(M: jnp.ndarray, rows: Rows, res: SolveResult,
     gate = (live & (a_diag > 1e-12)).astype(dtype)
     r0 = D_all @ res.qacc - b_all                          # (R,)
 
-    u = noslip_sweep_cached(iterations)(A, a_safe, lo, hi, gate, r0, u0)
+    # f32 TPU path: per-block tolerance exit in the sweep kernel
+    # (MJE_NOSLIP_TOL, relative to the force scale; 0 disables).
+    # mujoco's mj_solNoSlip likewise terminates on
+    # mjOption.noslip_tolerance (default 1e-6), not always on maxiter;
+    # the f64 oracle-parity scan keeps the fixed trip count.
+    tol = 0.0
+    if dtype == jnp.float32:
+        import os
+        tol = float(os.environ.get("MJE_NOSLIP_TOL", "1e-4"))
+    u = noslip_sweep_cached(iterations, tol)(
+        A, a_safe, lo, hi, gate, r0, u0)
     if dtype == jnp.float64:
         qacc = res.qacc + Minv @ (D_all.T @ (u - u0))
     else:
