@@ -79,7 +79,8 @@ def main():
                 return (v_pstep(p, a), kk), ()
             (p, kk), _ = jax.lax.scan(body, (pst, k), (), length=STEPS)
             return p
-        t, pst2 = timed(jax.jit(rollout, donate_argnums=(0,)), pst, key)
+        # No donation: `timed` re-invokes with the same input state.
+        t, pst2 = timed(jax.jit(rollout), pst, key)
         steps_per_s = B * STEPS / t
 
         # CNN actor forward on the rendered pixel batch (pixel PPO act).
