@@ -133,16 +133,26 @@ def _hit_zdisk(o, d, r, z0, nz):
     return jnp.where(ok, t, BIG), n
 
 
+def _min3(t1, n1, t2, n2, t3, n3):
+    """Nearest of three candidate hits, by elementwise selects.
+
+    Equivalent to argmin + take_along_axis (first-minimum priority),
+    which is how this used to be written — but a take_along_axis whose
+    indices vary per PIXEL lowers to a serial gather on TPU: the two
+    gathers here were 97% of the whole 128^2x256-env render (4.2
+    ms/frame; fusions raster.py:164-180 in the round-5 trace)."""
+    t = jnp.minimum(jnp.minimum(t1, t2), t3)
+    n = jnp.where((t == t1)[..., None], n1,
+                  jnp.where((t == t2)[..., None], n2, n3))
+    return t, n
+
+
 def _hit_cylinder(o, d, size):
     r, hl = size[0], size[1]
     t1, n1 = _hit_zcyl_side(o, d, r, hl)
     t2, n2 = _hit_zdisk(o, d, r, hl, 1.0)
     t3, n3 = _hit_zdisk(o, d, r, -hl, -1.0)
-    ts = jnp.stack([t1, t2, t3])
-    ns = jnp.stack([n1, n2, n3])
-    i = jnp.argmin(ts, axis=0)
-    return jnp.take_along_axis(ts, i[None], 0)[0], \
-        jnp.take_along_axis(ns, i[None, ..., None], 0)[0]
+    return _min3(t1, n1, t2, n2, t3, n3)
 
 
 def _hit_capsule(o, d, size):
@@ -158,11 +168,7 @@ def _hit_capsule(o, d, size):
     t2 = jnp.where(z2 >= 0, t2, BIG)
     z3 = o_bot[..., 2] + t3 * d[..., 2]
     t3 = jnp.where(z3 <= 0, t3, BIG)
-    ts = jnp.stack([t1, t2, t3])
-    ns = jnp.stack([n1, n2, n3])
-    i = jnp.argmin(ts, axis=0)
-    return jnp.take_along_axis(ts, i[None], 0)[0], \
-        jnp.take_along_axis(ns, i[None, ..., None], 0)[0]
+    return _min3(t1, n1, t2, n2, t3, n3)
 
 
 def _hit_box(o, d, size):
@@ -174,10 +180,15 @@ def _hit_box(o, d, size):
     t_near = jnp.max(tmin, axis=-1)
     t_far = jnp.min(tmax, axis=-1)
     ok = (t_near < t_far) & (t_near > 1e-4)
-    axis = jnp.argmax(tmin, axis=-1)
     p = o + t_near[..., None] * d
-    n = jax.nn.one_hot(axis, 3, dtype=o.dtype) * jnp.sign(
-        jnp.take_along_axis(p, axis[..., None], -1))
+    # Entry face = the axis achieving t_near; select it with a
+    # first-match cascade (== argmax's first-index tie rule) instead of
+    # argmax + take_along_axis — per-pixel gathers serialize on TPU.
+    e0 = tmin[..., 0] == t_near
+    e1 = (tmin[..., 1] == t_near) & ~e0
+    e2 = ~e0 & ~e1
+    oh = jnp.stack([e0, e1, e2], axis=-1).astype(o.dtype)
+    n = oh * jnp.sign(p)
     return jnp.where(ok, t_near, BIG), n
 
 
@@ -214,6 +225,11 @@ def render(model: Model, geom_xpos, geom_xmat, cam: Camera,
     ldir = jnp.asarray(light_dir, jnp.float32)
     ldir = ldir / jnp.linalg.norm(ldir)
 
+    # Winner selection is GATHER-FREE: per-geom world normals/colors are
+    # merged by one-hot masked sums over the geom axis instead of
+    # argmin + take_along_axis/table-indexing — batched gathers of tiny
+    # tables lower to serial per-env loops on TPU and made the renderer
+    # ~100x slower than its bandwidth bound (4.6 ms/frame at 256 envs).
     for t_id, fn in _HITS.items():
         gids = np.nonzero(gt == t_id)[0]
         if len(gids) == 0:
@@ -227,19 +243,22 @@ def render(model: Model, geom_xpos, geom_xmat, cam: Camera,
             o_l = R.T @ (o_w - p)
             d_l = dirs @ R
             o_l = jnp.broadcast_to(o_l, dirs.shape)
-            return fn(o_l, d_l, sz)
+            t, n_l = fn(o_l, d_l, sz)
+            # rotate the hit normal to world HERE (per geom, no gather)
+            n_w = n_l @ R.T
+            return t, n_w
 
-        ts, ns_l = jax.vmap(one)(pos, mat, size)     # (G, H, W), (G,H,W,3)
+        ts, ns_w = jax.vmap(one)(pos, mat, size)     # (G, H, W), (G,H,W,3)
         # hide fully transparent geoms (alpha 0 = visual-off markers)
         visible = rgba[:, 3] > 0.05
         ts = jnp.where(visible[:, None, None], ts, BIG)
-        gi = jnp.argmin(ts, axis=0)                  # (H, W)
-        t_grp = jnp.min(ts, axis=0)
-        n_l = jnp.take_along_axis(
-            ns_l, gi[None, ..., None], 0)[0]         # (H, W, 3)
-        n_w = jnp.einsum("hwj,hwij->hwi",
-                         n_l, mat[gi].astype(jnp.float32))
-        rgb = rgba[gi][..., :3]
+        t_grp = jnp.min(ts, axis=0)                  # (H, W)
+        win = (ts <= t_grp[None]) & (ts < BIG)       # (G, H, W)
+        cnt = jnp.maximum(jnp.sum(win, axis=0), 1)   # ties: average
+        winf = win.astype(jnp.float32)
+        n_w = jnp.sum(ns_w * winf[..., None], axis=0) / cnt[..., None]
+        rgb = jnp.sum(rgba[:, None, None, :3] * winf[..., None],
+                      axis=0) / cnt[..., None]
         upd = t_grp < best_t
         best_rgb = jnp.where(upd[..., None], rgb, best_rgb)
         best_n = jnp.where(upd[..., None], n_w, best_n)
@@ -253,19 +272,22 @@ def render(model: Model, geom_xpos, geom_xmat, cam: Camera,
             o_l = R.T @ (o_w - p)
             d_l = dirs @ R
             o_l = jnp.broadcast_to(o_l, dirs.shape)
-            return hit_mesh(o_l, d_l, tris)
+            t, n_l = hit_mesh(o_l, d_l, tris)
+            return t, n_l @ R.T
 
-        ts, ns_l = jax.vmap(one_mesh)(
+        ts, ns_w = jax.vmap(one_mesh)(
             meshes.pos.astype(jnp.float32),
             meshes.mat.astype(jnp.float32), tris_all)
         visible = meshes.rgba[:, 3] > 0.05
         ts = jnp.where(visible[:, None, None], ts, BIG)
-        gi = jnp.argmin(ts, axis=0)
         t_grp = jnp.min(ts, axis=0)
-        n_l = jnp.take_along_axis(ns_l, gi[None, ..., None], 0)[0]
-        n_w = jnp.einsum("hwj,hwij->hwi", n_l,
-                         meshes.mat[gi].astype(jnp.float32))
-        rgb = meshes.rgba[gi][..., :3]
+        win = (ts <= t_grp[None]) & (ts < BIG)
+        cnt = jnp.maximum(jnp.sum(win, axis=0), 1)
+        winf = win.astype(jnp.float32)
+        n_w = jnp.sum(ns_w * winf[..., None], axis=0) / cnt[..., None]
+        rgb = jnp.sum(
+            meshes.rgba.astype(jnp.float32)[:, None, None, :3]
+            * winf[..., None], axis=0) / cnt[..., None]
         upd = t_grp < best_t
         best_rgb = jnp.where(upd[..., None], rgb, best_rgb)
         best_n = jnp.where(upd[..., None], n_w, best_n)

@@ -51,23 +51,51 @@ def main():
     penv = PixelObservationEnv(env)
     print(f"backend={jax.default_backend()} task={TASK}", flush=True)
 
+    from mj_envs_tpu.parallel.vector import chunked_vmap
+    # Pixel chunk: the renderer materializes (B, G, H, W, 3) per-group
+    # intermediates (~16 GB at B=1024) — chunk the pixel step at 256.
+    PCHUNK = int(os.environ.get("PIXEL_CHUNK", "256"))
+
     for B in SIZES:
+      try:
         key = jax.random.PRNGKey(0)
         st = jax.jit(jax.vmap(env.reset))(jax.random.split(key, B))
 
         # Renderer only (amortized over STEPS inside one program).
+        v_render = chunked_vmap(penv._render, PCHUNK)
+
         def render_many(state):
             def body(acc, _):
-                img = jax.vmap(penv._render)(state)
+                img = v_render(state)
                 return acc + img.mean(), ()
             acc, _ = jax.lax.scan(
                 body, jnp.zeros((), jnp.float32), (), length=STEPS)
             return acc
-        t, _ = timed(jax.jit(render_many), st)
+        rm_j = jax.jit(render_many)
+        t, _ = timed(rm_j, st)
         render_ms = t / STEPS * 1e3
 
+        trace_dir = os.environ.get("TRACE")
+        if trace_dir:
+            import importlib.util as _ilu
+            spec = _ilu.spec_from_file_location(
+                "profile_rollout", os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "profile_rollout.py"))
+            pr = _ilu.module_from_spec(spec)
+            spec.loader.exec_module(pr)
+            hlo = ""
+            try:
+                hlo = rm_j.lower(st).compile().as_text()
+            except Exception as e:
+                print(f"hlo fetch failed: {e}", flush=True)
+            with jax.profiler.trace(trace_dir):
+                out = rm_j(st)
+                jax.block_until_ready(out)
+            pr.parse_trace(trace_dir, hlo)
+
         # Full pixel rollout: physics step + render per iter.
-        v_pstep = jax.vmap(penv.step)
+        v_pstep = chunked_vmap(penv.step, PCHUNK)
         pst = jax.jit(jax.vmap(penv.reset))(jax.random.split(key, B))
 
         def rollout(pst, k):
@@ -104,6 +132,9 @@ def main():
             "render_us_per_frame": round(render_ms / B * 1e3, 2),
             "cnn_act_ms": round(cnn_ms, 3) if cnn_ms == cnn_ms else None,
         }), flush=True)
+      except Exception as e:
+        print(f"size {B} failed: {type(e).__name__}: {str(e)[:300]}",
+              flush=True)
 
 
 if __name__ == "__main__":
