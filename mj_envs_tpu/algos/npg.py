@@ -104,7 +104,10 @@ def make_npg(env: AdroitEnv, num_envs: int, cfg: NPGConfig = NPGConfig(),
     NPG iteration = on-device rollout + baseline fit + CG natural
     gradient step.  When `demos` = {"obs": (D, obs_dim), "actions":
     (D, nu)} is given the update is DAPG."""
-    v_step = jax.vmap(env.step_auto_reset)
+    from ..parallel.vector import chunked_vmap
+    # Chunked stepping: holds per-env solver cost flat at large fleets
+    # (see parallel/vector.chunked_vmap).
+    v_step = chunked_vmap(env.step_auto_reset, 512)
 
     def init_fn(key) -> NPGState:
         kp, kt = jax.random.split(key)

@@ -33,6 +33,16 @@ class PPOConfig(NamedTuple):
     ent_coef: float = 0.0
     max_grad_norm: float = 0.5
     hidden: Tuple[int, ...] = (64, 64)
+    # Step the env batch in sequential chunks (parallel/vector
+    # .chunked_vmap): the Newton while_loop's early exit is batch-wide,
+    # so large fleets pay the slowest env's iterations — chunking holds
+    # per-env cost flat (+37% at 4096 envs on v5e).  <=chunk batches
+    # use plain vmap.  0 disables.
+    step_chunk: int = 512
+    # Pixel path: the ray-caster materializes (B, G, H, W, 3) per-group
+    # intermediates (~16 GB at B=1024 unchunked) — render/step in
+    # chunks of this many envs.
+    pixel_chunk: int = 256
 
 
 class TrainState(NamedTuple):
@@ -57,10 +67,11 @@ def make_ppo(env: AdroitEnv, num_envs: int, cfg: PPOConfig = PPOConfig()):
     train_iter_fn(train_state, env_state) -> (train_state, env_state,
     metrics): one full PPO iteration (rollout + update), jittable and
     shardable (env axis on env_state, replicated params)."""
+    from ..parallel.vector import chunked_vmap
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.adam(cfg.lr))
-    v_step = jax.vmap(env.step_auto_reset)
+    v_step = chunked_vmap(env.step_auto_reset, cfg.step_chunk)
 
     def init_fn(key: jax.Array) -> TrainState:
         kp, kt = jax.random.split(key)
@@ -209,12 +220,13 @@ def make_pixel_ppo(penv, num_envs: int, cfg: PPOConfig = PPOConfig()):
     runs on boundary steps only)."""
     from ..envs.pixels import PixelEnvState
 
+    from ..parallel.vector import chunked_vmap
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.adam(cfg.lr))
     env = penv.env
-    v_pair = jax.vmap(env._step_auto_reset_pair)
-    v_render = jax.vmap(penv._render)
+    v_pair = chunked_vmap(env._step_auto_reset_pair, cfg.pixel_chunk)
+    v_render = chunked_vmap(penv._render, cfg.pixel_chunk)
 
     def init_fn(key: jax.Array) -> TrainState:
         kp, kt = jax.random.split(key)

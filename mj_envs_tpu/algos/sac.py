@@ -95,7 +95,10 @@ def make_sac(env: AdroitEnv, num_envs: int, cfg: SACConfig = SACConfig()):
     obs_dim, act_dim = env.OBS_DIM, env.nu
     target_entropy = -float(act_dim)
     tx = optax.adam(cfg.lr)
-    v_step = jax.vmap(env.step_auto_reset)
+    from ..parallel.vector import chunked_vmap
+    # Chunked stepping: holds per-env solver cost flat at large fleets
+    # (see parallel/vector.chunked_vmap).
+    v_step = chunked_vmap(env.step_auto_reset, 512)
 
     def init_fn(key) -> SACState:
         ka, k1, k2, kt = jax.random.split(key, 4)

@@ -94,3 +94,31 @@ def test_visualize_cli_artifacts(tmp_path, monkeypatch):
     assert "visualise_hammer-v0_dapg-golden_0.gif" in files
     assert "visualise_hammer-v0_dapg-golden_1.gif" in files
     assert "rewards_hammer-v0.png" in files
+
+
+def test_interactive_viewer_headless_smoke():
+    """InteractiveViewer (the reference MjViewer windowed-mode analogue)
+    must step, render, and honor MjViewer-style key controls without a
+    display (Agg backend never opens a window)."""
+    import numpy as np
+    from mj_envs_tpu.viewer import InteractiveViewer, VIEWER_CAMS
+
+    v = InteractiveViewer("hammer-v0", backend="Agg", height=64, width=80)
+    # reference mj_viewer_setup camera defaults
+    assert (v.azimuth, v.distance) == VIEWER_CAMS["hammer"]
+    img = v.frame()
+    assert img.shape == (64, 80, 3) and np.isfinite(img).all()
+    # key controls mutate the camera / run state
+    az0, d0 = v.azimuth, v.distance
+    v.handle_key("left")
+    v.handle_key("+")
+    assert v.azimuth == az0 - 10.0 and v.distance < d0
+    v.handle_key(" ")
+    assert v.paused
+    v.handle_key(" ")
+    score = v.run(episodes=1, max_steps=3)
+    assert np.isfinite(score)
+    img2 = v.frame()
+    assert np.isfinite(img2).all()
+    v.handle_key("q")
+    assert v.closed
